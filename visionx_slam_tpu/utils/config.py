@@ -1,0 +1,169 @@
+"""Configuration system with reference-compatible flag names and overlay rules.
+
+Mirrors the reference CLI contract (reference: apps/main.cpp:15-47 gflags
+definitions) and its config-file overlay semantics (apps/main.cpp:61-103):
+
+- config files are ``key=value`` lines, ``#`` starts a comment, whitespace
+  is trimmed;
+- a config value is applied ONLY where the command line left the flag at
+  its default ("CLI wins", apps/main.cpp:92-103 ``ApplyConfigIfDefault``);
+- unknown keys produce a warning, not an error (apps/main.cpp:96).
+
+Flag defaults follow the gflags defaults (apps/main.cpp:21-47), which are
+what the reference actually runs with (the differing in-struct defaults at
+core/frontend/tracking.h:25-29 are overwritten in practice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+log = logging.getLogger("vxs.config")
+
+
+@dataclass
+class TrackingOptions:
+    """Frontend/backend tunables; names match the reference flags 1:1.
+
+    Reference: apps/main.cpp:21-47 and core/frontend/tracking.h:24-54.
+    """
+
+    min_matches: int = 20
+    min_inliers: int = 15
+    min_keyframe_inliers: int = 20
+    min_parallax: float = 5.0          # pixels (mean match displacement)
+    max_reproj_error: float = 2.0      # pixels, PnP RANSAC gate
+    min_keyframe_gap: int = 3
+    enable_culling: bool = False
+
+    # ===== Map culling (reference: tracking.cpp:652-840) =====
+    min_landmark_observations: int = 2
+    min_landmarks_for_culling: int = 200
+    min_keyframes_for_culling: int = 3
+    max_keyframes: int = 30
+    kf_min_shared_observations: int = 3
+    kf_redundant_ratio: float = 0.9
+    landmark_max_reproj_error: float = 5.0
+
+    # ===== Triangulation (reference: tracking.cpp:856-929) =====
+    triangulation_max_reproj_error: float = 5.0
+    triangulation_min_angle_deg: float = 1.0
+
+    # ===== Local BA (reference: core/backend/local_ba.h:12-19) =====
+    enable_local_ba: bool = True
+    ba_window_size: int = 5
+    ba_iterations: int = 5
+    ba_min_pose_observations: int = 20
+    ba_min_point_observations: int = 2
+    ba_huber_delta: float = 5.0
+    ba_max_reproj_error: float = 5.0
+
+
+@dataclass
+class SystemConfig:
+    """Full runner config = dataset/runner flags + TrackingOptions.
+
+    Runner flag names match apps/main.cpp:15-19. ``viewer_*`` flags are
+    accepted for CLI compatibility but map to the trajectory-dump viewer
+    replacement (SURVEY.md L8): there is no GL window.
+    """
+
+    config: str = ""
+    dataset_dir: str = "../dataset/tum_rgbd"
+    sequence: str = "rgbd_dataset_freiburg1_desk"
+    viewer_thread: bool = False
+    viewer_loop_ms: int = 10
+
+    # --- new-framework extensions (not in the reference) ---
+    output_dir: str = "output"          # trajectory + metrics destination
+    max_frames: int = -1                # -1 = whole sequence
+    extractor: str = "jax"              # "jax" (on-device ORB) | "opencv" (host oracle)
+    n_features: int = 1000              # reference: orb_extractor.h:11
+    metrics_jsonl: bool = True          # per-frame structured metrics
+
+    tracking: TrackingOptions = field(default_factory=TrackingOptions)
+
+
+_BOOL_TRUE = {"true", "1", "yes", "on"}
+_BOOL_FALSE = {"false", "0", "no", "off"}
+
+
+def _coerce(value: str, typ: type) -> Any:
+    if typ is bool:
+        v = value.strip().lower()
+        if v in _BOOL_TRUE:
+            return True
+        if v in _BOOL_FALSE:
+            return False
+        raise ValueError(f"not a boolean: {value!r}")
+    return typ(value)
+
+
+def parse_config_file(path: str) -> dict[str, str]:
+    """Parse a ``key=value`` config file (reference: apps/main.cpp:61-90)."""
+    kv: dict[str, str] = {}
+    try:
+        with open(path, "r") as fin:
+            for line in fin:
+                hash_pos = line.find("#")
+                if hash_pos != -1:
+                    line = line[:hash_pos]
+                line = line.strip()
+                if not line:
+                    continue
+                eq = line.find("=")
+                if eq == -1:
+                    continue
+                key = line[:eq].strip()
+                value = line[eq + 1 :].strip()
+                if key:
+                    kv[key] = value
+    except OSError:
+        log.warning("Failed to open config file: %s", path)
+    return kv
+
+
+def _flat_field_map(cfg: SystemConfig) -> dict[str, tuple[Any, str, type]]:
+    """Map flag-name -> (owner object, attr, type) over SystemConfig+TrackingOptions."""
+    out: dict[str, tuple[Any, str, type]] = {}
+    for f in fields(cfg):
+        if f.name == "tracking":
+            continue
+        out[f.name] = (cfg, f.name, f.type if isinstance(f.type, type) else type(getattr(cfg, f.name)))
+    for f in fields(cfg.tracking):
+        out[f.name] = (cfg.tracking, f.name, type(getattr(cfg.tracking, f.name)))
+    return out
+
+
+def apply_config_if_default(
+    cfg: SystemConfig, kv: dict[str, str], cli_set: set[str]
+) -> SystemConfig:
+    """Overlay config-file values onto ``cfg`` where the CLI left the default.
+
+    ``cli_set`` holds flag names the user explicitly passed on the command
+    line; those win over the config file (reference: apps/main.cpp:92-103).
+    Unknown keys warn (apps/main.cpp:96).
+    """
+    fmap = _flat_field_map(cfg)
+    for key, value in kv.items():
+        if key not in fmap:
+            log.warning("Unknown config key: %s", key)
+            continue
+        if key in cli_set:
+            continue  # CLI wins
+        owner, attr, typ = fmap[key]
+        try:
+            setattr(owner, attr, _coerce(value, type(getattr(owner, attr))))
+        except ValueError as e:
+            log.warning("Bad value for %s: %s", key, e)
+    return cfg
+
+
+def config_to_dict(cfg: SystemConfig) -> dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    tr = d.pop("tracking")
+    d.update(tr)
+    return d
