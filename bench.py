@@ -1,0 +1,85 @@
+"""Benchmark: frames/sec/chip on a synthetic fr1_desk-class sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 500 — the BASELINE.json north-star target
+(>= 500 frames/sec/chip on TUM fr1_desk; the reference C++ build paces
+itself to <= 10 FPS by construction, system.cpp:49). No TUM download
+exists in this environment, so the bench renders a TUM-layout synthetic
+sequence at fr1 geometry (640x480 RGB-D) and runs the REAL end-to-end
+pipeline on it: decode -> TPU ORB -> MXU matching -> PnP RANSAC ->
+keyframes/triangulation -> windowed BA -> trajectory.
+
+Flags: --quick (CPU smoke: few frames), --frames N, --extractor jax|opencv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("bench")
+    p.add_argument("--quick", action="store_true", help="tiny CPU smoke run")
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--extractor", default="jax", choices=["jax", "opencv"])
+    p.add_argument("--warmup", type=int, default=12)
+    args = p.parse_args(argv)
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+    from visionx_slam_tpu.data import synthetic, tum
+    from visionx_slam_tpu.system.system import System
+    from visionx_slam_tpu.utils.config import SystemConfig
+
+    n_frames = args.frames or (20 if args.quick else 240)
+
+    cache_root = os.path.join(tempfile.gettempdir(), f"vxs_bench_{n_frames}")
+    seq = "rgbd_dataset_freiburg3_synthetic"
+    if not os.path.isdir(os.path.join(cache_root, seq)):
+        synthetic.generate_sequence(cache_root, sequence=seq, n_frames=n_frames, seed=5)
+
+    out_dir = os.path.join(tempfile.gettempdir(), "vxs_bench_out")
+    cfg = SystemConfig(
+        dataset_dir=cache_root,
+        sequence=seq,
+        output_dir=out_dir,
+        extractor=args.extractor,
+        metrics_jsonl=False,
+    )
+
+    # warmup pass compiles every stage (first TPU compile is slow; cached after)
+    warm_cfg = SystemConfig(**{**cfg.__dict__, "max_frames": args.warmup,
+                               "tracking": cfg.tracking})
+    System(warm_cfg).run()
+
+    system = System(cfg)
+    t0 = time.perf_counter()
+    summary = system.run()
+    wall = time.perf_counter() - t0
+
+    fps = summary["n_frames"] / wall
+    result = {
+        "metric": "frames/sec/chip on synthetic fr1-class RGB-D (640x480, full SLAM)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 4),
+        "detail": {
+            "n_frames": summary["n_frames"],
+            "n_tracked": summary["n_tracked"],
+            "n_keyframes": summary["n_keyframes"],
+            "n_landmarks": summary["n_landmarks"],
+            "ate_rmse_m": summary.get("ate_rmse"),
+            "extractor": args.extractor,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

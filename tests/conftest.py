@@ -6,7 +6,7 @@ Multi-chip sharding is validated the TPU-analog way (SURVEY.md §4): an
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The environment's sitecustomize registers the 'axon' TPU-tunnel PJRT
+# plugin in every interpreter; even under JAX_PLATFORMS=cpu its presence
+# costs ~5 MINUTES at the first device->host transfer. Tests are CPU-only:
+# force the platform config and drop every non-CPU backend factory before
+# any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+for _name in list(_xb._backend_factories):
+    if _name != "cpu":
+        _xb._backend_factories.pop(_name)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

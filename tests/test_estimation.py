@@ -1,0 +1,175 @@
+"""RANSAC/triangulation tests on synthetic scenes with known ground truth
+(SURVEY.md §4: convergence tests vs GT replace the reference's absent tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from visionx_slam_tpu.ops import se3
+from visionx_slam_tpu.ops.camera import make_camera
+from visionx_slam_tpu.models import estimation as est
+
+CAM = make_camera(525.0, 525.0, 319.5, 239.5)
+
+
+def project(R, t, X):
+    pc = X @ R.T + t
+    return np.stack(
+        [525.0 * pc[:, 0] / pc[:, 2] + 319.5, 525.0 * pc[:, 1] / pc[:, 2] + 239.5], -1
+    ), pc[:, 2]
+
+
+def make_two_view(rng, n=128, noise=0.3, outlier_frac=0.15):
+    X = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], size=(n, 3))
+    R1, t1 = np.eye(3), np.zeros(3)
+    R2 = Rotation.from_rotvec([0.03, -0.1, 0.02]).as_matrix()
+    t2 = np.array([0.3, 0.05, -0.1])
+    px1, z1 = project(R1, t1, X)
+    px2, z2 = project(R2, t2, X)
+    px1 += rng.normal(scale=noise, size=px1.shape)
+    px2 += rng.normal(scale=noise, size=px2.shape)
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, size=n_out, replace=False)
+    px2[out_idx] += rng.uniform(30, 120, size=(n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    valid = (z1 > 0) & (z2 > 0)
+    inlier_gt = valid.copy()
+    inlier_gt[out_idx] = False
+    return X, px1, px2, valid, inlier_gt, R2, t2
+
+
+def test_sample_minimal_sets_distinct_and_valid(rng):
+    valid = np.zeros(64, bool)
+    valid[10:40] = True
+    idx = np.asarray(
+        est.sample_minimal_sets(jax.random.PRNGKey(0), jnp.asarray(valid), 32, 8)
+    )
+    for row in idx:
+        assert len(set(row.tolist())) == 8
+        assert all(10 <= i < 40 for i in row)
+
+
+def test_essential_ransac_recovers_pose(rng):
+    X, px1, px2, valid, inlier_gt, R_gt, t_gt = make_two_view(rng)
+    res = est.essential_ransac(
+        CAM, jnp.asarray(px1, jnp.float32), jnp.asarray(px2, jnp.float32),
+        jnp.asarray(valid), jax.random.PRNGKey(1), 1.0, 256,
+    )
+    assert bool(res.ok)
+    R = np.asarray(res.R)
+    t = np.asarray(res.t)
+    # rotation error
+    ang = np.degrees(
+        np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1))
+    )
+    assert ang < 1.0, f"rotation error {ang} deg"
+    # translation direction (unit-norm, sign may match gt direction)
+    t_dir = t_gt / np.linalg.norm(t_gt)
+    cosang = abs(float(t @ t_dir))
+    assert cosang > 0.98, f"translation direction cos {cosang}"
+    np.testing.assert_allclose(np.linalg.norm(t), 1.0, atol=1e-5)  # unit-norm t
+    # inliers: most GT inliers kept, most outliers rejected
+    mask = np.asarray(res.inlier_mask)
+    assert mask[inlier_gt].mean() > 0.8
+    assert mask[~inlier_gt & valid].mean() < 0.2
+
+
+def test_pnp_ransac_recovers_pose(rng):
+    n = 128
+    X = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], size=(n, 3))
+    R_gt = Rotation.from_rotvec([0.2, -0.1, 0.15]).as_matrix()
+    t_gt = np.array([0.4, -0.2, 0.3])
+    px, z = project(R_gt, t_gt, X)
+    px += rng.normal(scale=0.4, size=px.shape)
+    n_out = 25
+    out_idx = rng.choice(n, size=n_out, replace=False)
+    px[out_idx] += rng.uniform(25, 100, size=(n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    valid = z > 0
+
+    res = est.pnp_ransac(
+        CAM, jnp.asarray(X, jnp.float32), jnp.asarray(px, jnp.float32),
+        jnp.asarray(valid), jax.random.PRNGKey(2), 2.0, 128, 10,
+    )
+    assert bool(res.ok)
+    R = np.asarray(se3.quat_to_matrix(res.pose.q))
+    t = np.asarray(res.pose.t)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+    assert ang < 0.3, f"rotation error {ang} deg"
+    np.testing.assert_allclose(t, t_gt, atol=0.02)
+    mask = np.asarray(res.inlier_mask)
+    assert mask.sum() >= n - n_out - 10
+    assert mask[out_idx].mean() < 0.15
+
+
+def test_pnp_matches_opencv(rng):
+    import cv2
+
+    n = 96
+    X = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], size=(n, 3))
+    R_gt = Rotation.from_rotvec([0.1, 0.25, -0.05]).as_matrix()
+    t_gt = np.array([-0.2, 0.1, 0.5])
+    px, z = project(R_gt, t_gt, X)
+    px += rng.normal(scale=0.3, size=px.shape)
+    K = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]])
+    ok_cv, rvec, tvec, inl = cv2.solvePnPRansac(
+        X, px, K, None, reprojectionError=2.0, iterationsCount=100
+    )
+    R_cv = cv2.Rodrigues(rvec)[0]
+
+    res = est.pnp_ransac(
+        CAM, jnp.asarray(X, jnp.float32), jnp.asarray(px, jnp.float32),
+        jnp.ones(n, bool), jax.random.PRNGKey(3), 2.0, 128, 10,
+    )
+    R = np.asarray(se3.quat_to_matrix(res.pose.q))
+    t = np.asarray(res.pose.t)
+    # agree with OpenCV's estimate to sub-millimeter / hundredth-degree
+    ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_cv.T) - 1) / 2, -1, 1)))
+    assert ang < 0.1
+    np.testing.assert_allclose(t, tvec.ravel(), atol=5e-3)
+
+
+def test_triangulate_exact(rng):
+    X = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], size=(64, 3))
+    T1 = se3.identity_pose()
+    q = Rotation.from_rotvec([0.05, -0.08, 0.02]).as_quat()
+    T2 = se3.Pose(
+        jnp.asarray([q[3], q[0], q[1], q[2]], jnp.float32),
+        jnp.asarray([0.25, 0.0, -0.05], jnp.float32),
+    )
+    P1 = est.projection_matrix(CAM, T1)
+    P2 = est.projection_matrix(CAM, T2)
+
+    R2 = Rotation.from_quat(q).as_matrix()
+    px1, _ = project(np.eye(3), np.zeros(3), X)
+    px2, _ = project(R2, np.array([0.25, 0.0, -0.05]), X)
+
+    Xr = np.asarray(
+        est.triangulate_dlt(P1, P2, jnp.asarray(px1, jnp.float32), jnp.asarray(px2, jnp.float32))
+    )
+    np.testing.assert_allclose(Xr, X, atol=5e-3)
+
+
+def test_triangulate_matches_reference_formula(rng):
+    # oracle: cv2.triangulatePoints solves the same DLT system
+    import cv2
+
+    X = rng.uniform([-1, -1, 2.0], [1, 1, 5.0], size=(32, 3))
+    R2 = Rotation.from_rotvec([0.0, -0.12, 0.03]).as_matrix()
+    t2 = np.array([0.3, 0.02, 0.0])
+    K = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]])
+    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = K @ np.hstack([R2, t2[:, None]])
+    px1, _ = project(np.eye(3), np.zeros(3), X)
+    px2, _ = project(R2, t2, X)
+    px1 += rng.normal(scale=0.5, size=px1.shape)
+    px2 += rng.normal(scale=0.5, size=px2.shape)
+
+    Xcv = cv2.triangulatePoints(P1, P2, px1.T, px2.T)
+    Xcv = (Xcv[:3] / Xcv[3]).T
+    ours = np.asarray(
+        est.triangulate_dlt(
+            jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
+            jnp.asarray(px1, jnp.float32), jnp.asarray(px2, jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(ours, Xcv, atol=2e-2)

@@ -23,3 +23,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry (DLT/RANSAC/BA normal equations) is float32 and precision-critical:
+# the default TPU matmul precision computes f32 contractions through bfloat16
+# passes (~5e-3 relative error), which visibly corrupts triangulation and
+# normal-equation solves. Force full-precision accumulation for f32 matmuls
+# framework-wide; throughput-critical kernels that genuinely want bf16 (the
+# Hamming descriptor GEMM) opt in explicitly with bf16 inputs.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -39,11 +39,24 @@ class Plane:
     tex_scale: float     # meters per texture period
 
 
-def _random_texture(rng: np.random.Generator, cells: int = 48) -> np.ndarray:
-    """Blocky random texture: sharp corners at cell boundaries."""
-    coarse = rng.uniform(0.15, 0.95, size=(cells, cells))
-    fine = rng.uniform(-0.08, 0.08, size=(cells * 2, cells * 2))
-    tex = np.kron(coarse, np.ones((2, 2))) + fine
+def _random_texture(rng: np.random.Generator, cells: int = 96) -> np.ndarray:
+    """Blocky random multi-scale texture: sharp corners at cell boundaries.
+
+    Three block lattices at coprime-ish cell counts are superimposed so
+    local appearance is unique across the image — a single-period lattice
+    aliases catastrophically when camera motion per frame approaches one
+    cell (coherently wrong matches then form a valid rigid consensus that
+    can out-vote the true pose in RANSAC).
+    """
+
+    def layer(n, lo, hi):
+        t = rng.uniform(lo, hi, size=(n, n))
+        reps = int(np.ceil(cells / n))
+        return np.kron(t, np.ones((reps, reps)))[:cells, :cells]
+
+    tex = layer(cells, 0.1, 0.5)          # fine lattice
+    tex = tex + layer(29, 0.0, 0.35)      # mid lattice (coprime with 96)
+    tex = tex + layer(13, 0.0, 0.25)      # coarse lattice
     return np.clip(tex, 0.05, 1.0)
 
 

@@ -1,0 +1,519 @@
+"""Batched, fixed-shape robust pose estimation: the TPU RANSAC stack.
+
+Replaces the reference's delegated OpenCV calib3d calls (SURVEY.md §2.3):
+
+- ``essential_ransac`` = cv::findEssentialMat(RANSAC, conf .999, 1 px)
+  + cv::recoverPose cheirality voting (reference tracking.cpp:503-544);
+- ``pnp_ransac``      = cv::solvePnPRansac(iters min(100, 2n), reproj 2 px,
+  conf .99) + final refinement on inliers (reference tracking.cpp:409-447);
+- ``triangulate_dlt`` = the per-match 4x4 DLT SVD (tracking.cpp:931-945).
+
+TPU-first shape of the algorithms (SURVEY.md §7.5): RANSAC is a FIXED
+batch of hypotheses — minimal samples drawn with a Gumbel-top-k trick so
+every hypothesis uses distinct, valid correspondences — solved in one
+vmapped batch (nullspaces via eigh of the normal matrix, which lowers to
+fast batched Jacobi on XLA), scored against all correspondences with
+masked reductions, and reduced with a single argmax. No data-dependent
+loops, no early exit: the adaptive-iteration semantics of OpenCV's
+confidence parameter are replaced by a hypothesis budget chosen to exceed
+the reference's cap (documented per function).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import CameraParams
+from ..ops.se3 import (
+    Pose,
+    matrix_to_quat,
+    quat_to_matrix,
+    se3_apply,
+    se3_exp,
+    se3_compose,
+    so3_hat,
+)
+
+BIG = 1e9
+
+
+# ---------------------------------------------------------------------------
+# sampling: k distinct valid indices per hypothesis, fully batched
+# ---------------------------------------------------------------------------
+
+def sample_minimal_sets(
+    key: jax.Array, valid: jnp.ndarray, n_hypotheses: int, k: int
+) -> jnp.ndarray:
+    """[H, k] int32 indices, distinct within a hypothesis, valid-only.
+
+    Gumbel-top-k: per hypothesis add iid Gumbel noise to log(valid) and take
+    the k largest — a uniform sample of k distinct valid indices with no
+    rejection loop (TPU-friendly replacement for sequential RANSAC draws).
+    If fewer than k valid entries exist, invalid indices leak in; callers
+    gate on the overall inlier count, so such hypotheses lose the argmax.
+    """
+    n = valid.shape[0]
+    g = jax.random.gumbel(key, (n_hypotheses, n))
+    scores = g + jnp.where(valid[None, :], 0.0, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, k)
+    return idx.astype(jnp.int32)
+
+
+def _normalize_px(cam: CameraParams, px: jnp.ndarray) -> jnp.ndarray:
+    """Pixels -> normalized image coordinates (pinhole; matches the
+    reference's use of K-only models in calib3d calls)."""
+    x = (px[..., 0] - cam.cx) / cam.fx
+    y = (px[..., 1] - cam.cy) / cam.fy
+    return jnp.stack([x, y], axis=-1)
+
+
+def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of symmetric PSD M [..., d, d].
+
+    jnp.linalg.eigh in float32 separates a near-null eigenvector poorly
+    (orders of magnitude worse than LAPACK); two inverse-iteration steps on
+    the shifted matrix shrink the error by the eigen-gap ratio per step,
+    which is effectively exact for the well-gapped DLT normal matrices used
+    here (rows are normalized by callers, so eigenvalues are O(1)).
+    """
+    d = M.shape[-1]
+    w, v = jnp.linalg.eigh(M)
+    v0 = v[..., :, 0]
+    # scale-aware tiny shift keeps the solve finite while amplifying the
+    # null-space component
+    shift = 1e-7 * jnp.maximum(w[..., -1], 1e-20)
+    Ms = M + shift[..., None, None] * jnp.eye(d, dtype=M.dtype)
+    for _ in range(2):
+        v0 = jnp.linalg.solve(Ms, v0[..., :, None])[..., :, 0]
+        n = jnp.linalg.norm(v0, axis=-1, keepdims=True)
+        v0 = v0 / jnp.maximum(n, 1e-30)
+    return v0
+
+
+# ---------------------------------------------------------------------------
+# essential matrix: batched 8-point + Sampson scoring + cheirality recovery
+# ---------------------------------------------------------------------------
+
+class EssentialResult(NamedTuple):
+    R: jnp.ndarray          # [3,3] rotation of T_cl (last->current)
+    t: jnp.ndarray          # [3] unit-norm translation (mono scale ambiguity)
+    E: jnp.ndarray          # [3,3]
+    inlier_mask: jnp.ndarray  # [N] bool (RANSAC inliers passing cheirality)
+    n_inliers: jnp.ndarray    # int32
+    ok: jnp.ndarray           # bool
+
+
+def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """x1,x2: [8,2] normalized coords -> E [3,3] (unprojected to manifold)."""
+    ones = jnp.ones_like(x1[:, :1])
+    h1 = jnp.concatenate([x1, ones], -1)  # [8,3]
+    h2 = jnp.concatenate([x2, ones], -1)
+    # row = kron(x2, x1): constraint x2^T E x1 = 0, E row-major
+    A = (h2[:, :, None] * h1[:, None, :]).reshape(8, 9)
+    e = _smallest_eigvec(A.T @ A)
+    E = e.reshape(3, 3)
+    # project to the essential manifold: singular values (1, 1, 0)
+    U, S, Vt = jnp.linalg.svd(E)
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+
+
+def _sampson_sq(E: jnp.ndarray, h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson distance of correspondences [N,3]x[N,3] under E."""
+    Ex1 = h1 @ E.T          # [N,3] = E @ x1
+    Etx2 = h2 @ E           # [N,3] = E^T @ x2
+    num = jnp.sum(h2 * Ex1, axis=-1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _triangulate_norm(R, t, x1, x2):
+    """Midpoint-free DLT triangulation in normalized coords for cheirality:
+    P1=[I|0], P2=[R|t]; returns (X [N,3], z1, z2)."""
+    N = x1.shape[0]
+    P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], 1)
+    P2 = jnp.concatenate([R, t[:, None]], 1)
+    X = triangulate_dlt(P1, P2, x1, x2)
+    z1 = X[:, 2]
+    z2 = X @ R[2].T + t[2]
+    return X, z1, z2
+
+
+@partial(jax.jit, static_argnames=("n_hypotheses",))
+def essential_ransac(
+    cam: CameraParams,
+    px_last: jnp.ndarray,   # [N,2] pixels in the LAST frame
+    px_curr: jnp.ndarray,   # [N,2] pixels in the CURRENT frame
+    valid: jnp.ndarray,     # [N] bool correspondence mask
+    key: jax.Array,
+    thresh_px: float = 1.0,      # reference tracking.cpp:521
+    n_hypotheses: int = 256,
+) -> EssentialResult:
+    """Essential-matrix RANSAC + pose recovery.
+
+    Semantics follow cv::findEssentialMat(RANSAC, 0.999, 1.0) +
+    cv::recoverPose as called at tracking.cpp:521-528: Sampson scoring with
+    the pixel threshold scaled by mean focal length; pose disambiguation by
+    positive-depth voting over the four (R, t) decompositions with
+    OpenCV's 50-unit distance gate; returned t has unit norm (monocular
+    scale ambiguity, SURVEY.md "known quirks"). The 8-point solver replaces
+    Nister 5-point (SURVEY.md §7.5: per-hypothesis eigh is TPU-friendlier);
+    the fixed 256-hypothesis budget exceeds the adaptive-iteration count
+    the reference's 0.999 confidence typically settles at.
+    """
+    x1 = _normalize_px(cam, px_last)
+    x2 = _normalize_px(cam, px_curr)
+    ones = jnp.ones_like(x1[:, :1])
+    h1 = jnp.concatenate([x1, ones], -1)
+    h2 = jnp.concatenate([x2, ones], -1)
+
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 8)  # [H,8]
+    Es = jax.vmap(lambda ii: _eight_point(x1[ii], x2[ii]))(idx)  # [H,3,3]
+
+    thresh_norm = thresh_px / (0.5 * (cam.fx + cam.fy))
+    d2 = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es)  # [H,N]
+    inl = (d2 < thresh_norm**2) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    E = Es[best]
+    mask = inl[best]
+
+    # least-squares refit of E on the winning consensus set (the analog of
+    # OpenCV's post-RANSAC model refinement): keep it only if it does not
+    # lose inliers
+    rows = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9)  # [N,9]
+    w_rows = jnp.where(mask[:, None], rows, 0.0)
+    AtA = w_rows.T @ w_rows
+    e_fit = _smallest_eigvec(AtA).reshape(3, 3)
+    Uf, Sf, Vtf = jnp.linalg.svd(e_fit)
+    E_fit = Uf @ jnp.diag(jnp.array([1.0, 1.0, 0.0], e_fit.dtype)) @ Vtf
+    mask_fit = (_sampson_sq(E_fit, h1, h2) < thresh_norm**2) & valid
+    better = jnp.sum(mask_fit) >= jnp.sum(mask)
+    E = jnp.where(better, E_fit, E)
+    mask = jnp.where(better, mask_fit, mask)
+
+    # --- recoverPose: 4 candidate decompositions, cheirality voting ---
+    U, S, Vt = jnp.linalg.svd(E)
+    # keep proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    tu = U[:, 2]
+    tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
+
+    def vote(R, t):
+        X, z1, z2 = _triangulate_norm(R, t, x1, x2)
+        finite = jnp.all(jnp.isfinite(X), axis=-1)
+        near = jnp.abs(X[:, 2]) < 50.0  # OpenCV recoverPose distance gate
+        good = (z1 > 0) & (z2 > 0) & finite & near & mask
+        return good, jnp.sum(good)
+
+    cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
+    goods, votes = zip(*(vote(R, t) for R, t in cands))
+    votes = jnp.stack(votes)
+    goods = jnp.stack(goods)
+    ci = jnp.argmax(votes)
+    R = jnp.stack([c[0] for c in cands])[ci]
+    t = jnp.stack([c[1] for c in cands])[ci]
+    cheir_mask = goods[ci]
+    n_inliers = votes[ci].astype(jnp.int32)
+
+    ok = (n_inliers > 0) & jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+    return EssentialResult(R, t, E, cheir_mask, n_inliers, ok)
+
+
+@jax.jit
+def essential_scale_from_depth(
+    cam: CameraParams,
+    res: EssentialResult,
+    px_last: jnp.ndarray,
+    px_curr: jnp.ndarray,
+    depth_last: jnp.ndarray,  # [N] measured depth of the LAST frame's features (0 = none)
+) -> jnp.ndarray:
+    """Metric scale for the essential-matrix translation from RGB-D depth.
+
+    The reference composes recoverPose's UNIT-norm translation directly
+    (tracking.cpp:539-541), which leaves the two-frame initialization at an
+    arbitrary scale while its depth-backprojected landmarks are metric —
+    an internal inconsistency the reference carries. With RGB-D data the
+    scale is observable: triangulate the essential inliers at unit scale
+    and take the median ratio of measured to triangulated depth. Returns a
+    scalar (1.0 when too few valid pairs), applied as ``t * scale``.
+    Enabled by the (extension) option ``init_scale_from_depth``.
+    """
+    x1 = _normalize_px(cam, px_last)
+    x2 = _normalize_px(cam, px_curr)
+    X, z1, z2 = _triangulate_norm(res.R, res.t, x1, x2)
+    good = (
+        res.inlier_mask
+        & (z1 > 1e-3) & (z2 > 1e-3)
+        & (depth_last > 0.1) & (depth_last < 10.0)
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    ratio = jnp.where(good, depth_last / jnp.maximum(z1, 1e-6), jnp.nan)
+    scale = jnp.nanmedian(ratio)
+    enough = jnp.sum(good) >= 10
+    ok = enough & jnp.isfinite(scale) & (scale > 1e-3) & (scale < 1e3)
+    return jnp.where(ok, scale, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# PnP: batched DLT hypotheses + reprojection scoring + GN refinement
+# ---------------------------------------------------------------------------
+
+class PnPResult(NamedTuple):
+    pose: Pose               # T_cw
+    inlier_mask: jnp.ndarray  # [N] bool
+    n_inliers: jnp.ndarray    # int32
+    ok: jnp.ndarray           # bool
+
+
+def _dlt_pnp(X: jnp.ndarray, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Minimal DLT pose from 6 points: X [6,3] world, x [6,2] normalized.
+
+    Returns (R [3,3], t [3]). Points are Hartley-normalized for
+    conditioning; the projective P is snapped to SE(3) via SVD
+    orthogonalization with positive-depth sign selection.
+    """
+    # normalize 3D points: centroid + isotropic scale
+    c = jnp.mean(X, axis=0)
+    s = jnp.mean(jnp.linalg.norm(X - c, axis=-1))
+    s = jnp.maximum(s, 1e-9)
+    Xn = (X - c) / s
+
+    ones = jnp.ones((6, 1), X.dtype)
+    Xh = jnp.concatenate([Xn, ones], -1)  # [6,4]
+    zeros = jnp.zeros_like(Xh)
+    u = x[:, 0:1]
+    v = x[:, 1:2]
+    rows_u = jnp.concatenate([Xh, zeros, -u * Xh], -1)  # [6,12]
+    rows_v = jnp.concatenate([zeros, Xh, -v * Xh], -1)
+    A = jnp.concatenate([rows_u, rows_v], 0)  # [12,12]
+    p = _smallest_eigvec(A.T @ A)
+    P = p.reshape(3, 4)
+
+    # P is defined up to a global sign; build a proper-rotation candidate
+    # from +P and from -P, keep whichever puts the sample in front.
+    def snap_to_se3(P_signed):
+        M = P_signed[:, :3]
+        Um, Sm, Vmt = jnp.linalg.svd(M)
+        d = jnp.linalg.det(Um) * jnp.linalg.det(Vmt)
+        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], M.dtype)) + jnp.diag(
+            jnp.array([0.0, 0.0, 1.0], M.dtype)
+        ) * d
+        R = Um @ D @ Vmt
+        t = P_signed[:, 3] / jnp.maximum(jnp.mean(Sm), 1e-12)
+        return R, t
+
+    Ra, ta = snap_to_se3(P)
+    Rb, tb = snap_to_se3(-P)
+    za = Xn @ Ra[2] + ta[2]
+    zb = Xn @ Rb[2] + tb[2]
+    pick_a = jnp.sum(za > 0) >= jnp.sum(zb > 0)
+    R = jnp.where(pick_a, Ra, Rb)
+    t = jnp.where(pick_a, ta, tb)
+
+    # undo the 3D normalization: x ~ R (X - c)/s + t (homogeneous), so the
+    # un-normalized pose is (R, s*t - R c) up to projective scale
+    t_full = s * t - R @ c
+    return R, t_full
+
+
+def _reproj_err_px(cam: CameraParams, R, t, X, px):
+    pc = X @ R.T + t
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = cam.fx * pc[..., 0] / z + cam.cx
+    v = cam.fy * pc[..., 1] / z + cam.cy
+    err = jnp.stack([u, v], -1) - px
+    behind = pc[..., 2] <= 1e-6
+    return jnp.where(behind, BIG, jnp.linalg.norm(err, axis=-1))
+
+
+def _pose_gn_refine(
+    cam: CameraParams,
+    pose: Pose,
+    X: jnp.ndarray,
+    px: jnp.ndarray,
+    w: jnp.ndarray,
+    iters: int = 10,
+    robust: bool = False,
+    huber_delta=0.0,
+    gate_px=0.0,
+) -> Pose:
+    """Pose-only Gauss-Newton on weighted reprojection (pinhole).
+
+    Same Jacobian structure as the reference BA pose pass
+    (local_ba.cpp:15-33): J = J_proj(pc) @ [I | -hat(pc)], left-mult update.
+    With ``robust=True`` (static) the weights are Huber-reweighted and
+    gated per iteration (IRLS), which lets a rough initial pose converge on
+    data with outliers.
+    """
+
+    def step(pose, _):
+        pc = se3_apply(pose, X)
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        inv_z = 1.0 / z
+        u = cam.fx * pc[..., 0] * inv_z + cam.cx
+        v = cam.fy * pc[..., 1] * inv_z + cam.cy
+        err = px - jnp.stack([u, v], -1)  # [N,2]
+        ww = w * (pc[..., 2] > 1e-6)
+        if robust:
+            en = jnp.linalg.norm(err, axis=-1)
+            ww = ww * jnp.where(en <= huber_delta, 1.0,
+                                huber_delta / jnp.maximum(en, 1e-9))
+            ww = ww * (en <= gate_px)
+
+        # J_proj [N,2,3]
+        zeros = jnp.zeros_like(inv_z)
+        Jp = jnp.stack(
+            [
+                jnp.stack([cam.fx * inv_z, zeros, -cam.fx * pc[..., 0] * inv_z**2], -1),
+                jnp.stack([zeros, cam.fy * inv_z, -cam.fy * pc[..., 1] * inv_z**2], -1),
+            ],
+            -2,
+        )
+        Jse = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (*pc.shape[:-1], 3, 3)),
+             -so3_hat(pc)], -1
+        )  # [N,3,6]
+        J = Jp @ Jse  # [N,2,6]
+        H = jnp.einsum("nij,nik,n->jk", J, J, ww) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
+        b = jnp.einsum("nij,ni,n->j", J, err, ww)
+        dx = jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        return se3_compose(se3_exp(dx), pose), None
+
+    pose, _ = jax.lax.scan(step, pose, None, length=iters)
+    return pose
+
+
+@partial(jax.jit, static_argnames=("n_hypotheses", "refine_iters"))
+def pnp_ransac(
+    cam: CameraParams,
+    pts3d: jnp.ndarray,     # [N,3] world landmarks
+    pts2d: jnp.ndarray,     # [N,2] pixels in current frame
+    valid: jnp.ndarray,     # [N] bool
+    key: jax.Array,
+    reproj_thresh: float = 2.0,   # reference max_reproj_error flag
+    n_hypotheses: int = 128,
+    refine_iters: int = 10,
+    init_pose: Pose | None = None,
+) -> PnPResult:
+    """PnP RANSAC with final GN refinement on inliers.
+
+    Mirrors cv::solvePnPRansac as called at tracking.cpp:422-423
+    (iterations min(100, 2n) -> fixed 128-hypothesis budget >= that cap,
+    reprojection gate ``max_reproj_error``, conf 0.99) followed by
+    refinement on the inlier set.
+
+    Minimal solver: 6-point DLT (TPU-friendly batched eigh) followed by a
+    short calibrated GN polish on the sample. The projective DLT is
+    degenerate on coplanar samples, but the calibrated 6-DoF pose is NOT —
+    the polish recovers planar-scene hypotheses the raw DLT cannot
+    (planar-heavy frames are the norm in indoor RGB-D). When ``init_pose``
+    is given (the tracker's previous pose), one extra hypothesis runs
+    robust IRLS from it over all correspondences — a motion-prior
+    hypothesis that competes in the same consensus scoring.
+    """
+    x_norm = _normalize_px(cam, pts2d)
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 6)
+
+    Rs, ts = jax.vmap(lambda ii: _dlt_pnp(pts3d[ii], x_norm[ii]))(idx)
+    finite_h = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
+        jnp.isfinite(ts), axis=1
+    )
+    Rs = jnp.where(finite_h[:, None, None], Rs, jnp.eye(3, dtype=Rs.dtype))
+    ts = jnp.where(finite_h[:, None], ts, 0.0)
+
+    # calibrated GN polish of each hypothesis on its own minimal sample
+    sample_w = jnp.zeros((n_hypotheses, pts3d.shape[0]), pts3d.dtype)
+    sample_w = sample_w.at[
+        jnp.arange(n_hypotheses)[:, None], idx
+    ].set(1.0, mode="drop")
+    poses_h = jax.vmap(
+        lambda R, t, w: _pose_gn_refine(
+            cam, Pose(matrix_to_quat(R), t), pts3d, pts2d, w, iters=3
+        )
+    )(Rs, ts, sample_w)
+
+    if init_pose is not None:
+        prior = _pose_gn_refine(
+            cam, init_pose, pts3d, pts2d, valid.astype(pts3d.dtype),
+            iters=5, robust=True,
+            huber_delta=2.0 * reproj_thresh, gate_px=10.0 * reproj_thresh,
+        )
+        poses_h = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[None]]), poses_h, prior
+        )
+
+    Rh = quat_to_matrix(poses_h.q)
+    errs = jax.vmap(lambda R, t: _reproj_err_px(cam, R, t, pts3d, pts2d))(
+        Rh, poses_h.t
+    )
+    inl = (errs < reproj_thresh) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+
+    pose = jax.tree.map(lambda a: a[best], poses_h)
+    finite = jnp.all(jnp.isfinite(pose.q)) & jnp.all(jnp.isfinite(pose.t))
+    pose = Pose(
+        jnp.where(finite, pose.q, jnp.array([1.0, 0, 0, 0], pose.q.dtype)),
+        jnp.where(finite, pose.t, jnp.zeros_like(pose.t)),
+    )
+    mask0 = inl[best]
+
+    pose = _pose_gn_refine(
+        cam, pose, pts3d, pts2d, mask0.astype(pts3d.dtype), iters=refine_iters
+    )
+
+    # re-evaluate inliers after refinement (OpenCV returns the refined set)
+    R = quat_to_matrix(pose.q)
+    err = _reproj_err_px(cam, R, pose.t, pts3d, pts2d)
+    mask = (err < reproj_thresh) & valid
+    n_inliers = jnp.sum(mask).astype(jnp.int32)
+    ok = finite & (n_inliers > 0)
+    return PnPResult(pose, mask, n_inliers, ok)
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+def triangulate_dlt(
+    P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
+) -> jnp.ndarray:
+    """Two-view DLT triangulation, batched over correspondences.
+
+    P1, P2: [3,4] projection matrices (pixel-scale K[R|t] as built at
+    tracking.cpp:844-854, or normalized [R|t]); uv1, uv2: [N,2].
+    Solves the 4x4 system of tracking.cpp:931-945 via eigh of A^T A
+    (equivalent to the smallest right singular vector) and dehomogenizes.
+    """
+    r0 = uv1[..., 0:1] * P1[2] - P1[0]  # [N,4]
+    r1 = uv1[..., 1:2] * P1[2] - P1[1]
+    r2 = uv2[..., 0:1] * P2[2] - P2[0]
+    r3 = uv2[..., 1:2] * P2[2] - P2[1]
+    A = jnp.stack([r0, r1, r2, r3], axis=-2)  # [N,4,4]
+    # row-normalize: keeps the nullspace, conditions A^T A for float32
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    X = _smallest_eigvec(AtA)  # [N,4]
+    w = X[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / safe_w[..., None]
+
+
+def projection_matrix(cam: CameraParams, T_cw: Pose) -> jnp.ndarray:
+    """K [R|t] exactly as the reference's ProjectionMatrix (tracking.cpp:844-854)."""
+    R = quat_to_matrix(T_cw.q)
+    Rt = jnp.concatenate([R, T_cw.t[..., :, None]], axis=-1)
+    K = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], R.dtype
+    )
+    K = K.at[0, 0].set(cam.fx).at[1, 1].set(cam.fy).at[0, 2].set(cam.cx).at[1, 2].set(cam.cy)
+    return K @ Rt

@@ -1,0 +1,219 @@
+"""Sliding-window local bundle adjustment as batched block Gauss-Newton.
+
+Replaces the reference ``LocalBA`` (core/backend/local_ba.cpp:66-249):
+alternating pose/point passes over the last ``window_size`` keyframes with
+Huber weighting, reprojection gating, 1e-6 Tikhonov damping, left-mult
+SE(3) retraction and a relative-cost convergence test.
+
+TPU-first mapping (SURVEY.md §7.7):
+- the pose pass is one vmapped batch over the window: per-keyframe 6x6
+  normal equations built with einsum and solved as a [W,6,6] batched solve
+  (poses are mutually independent within a pass, so the reference's
+  sequential per-keyframe loop batches exactly);
+- the point pass scatters per-observation 3x3/3x1 contributions into the
+  landmark table with segment-sum adds and solves ALL landmark systems as
+  one [L,3,3] batched solve, applying updates only where gates pass;
+- the iteration loop is a ``lax.scan`` with a ``done`` flag implementing
+  the reference's early convergence break (|last-cost|<1e-6*last,
+  local_ba.cpp:244-246) as masked no-op iterations.
+
+Semantics preserved: Huber weight delta/err beyond delta (:35-40), the
+5 px reprojection gate (:147-150, :213-215), min_pose_observations /
+min_point_observations gates (:163, :228), pose-pass cost accounting
+(:158-159), landmark eligibility by GLOBAL observation count (:100), and
+the z>1e-6 projection validity (projection.h).
+
+DELIBERATE FIX (documented deviation, SURVEY.md §7 "preserve-or-document"):
+the reference accumulates ``b += w * (-J^T err)`` with ``err = measured -
+projected`` (local_ba.cpp:156, :224) and then applies ``exp(dx) * T``.
+With J = d(proj)/d(xi), Gauss-Newton requires ``dx = +H^{-1} sum(w J^T
+err)``; the reference's sign sends updates AWAY from the minimum, after
+which its reprojection/min-observation gates freeze further updates. We
+implement the correct sign — bundle adjustment then actually reduces
+reprojection error (verified in tests/test_local_ba.py against synthetic
+ground truth).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import CameraParams
+from ..ops.se3 import Pose, quat_to_matrix, se3_compose, se3_exp, so3_hat
+from ..tracking import mapstate as msl
+from ..tracking.mapstate import MapState
+
+
+class BAOptions(NamedTuple):
+    """Mirrors LocalBA::Options (core/backend/local_ba.h:12-19)."""
+
+    window_size: int = 5
+    max_iterations: int = 5
+    min_pose_observations: int = 20
+    min_point_observations: int = 2
+    huber_delta: float = 5.0
+    max_reproj_error: float = 5.0
+
+
+class BAStats(NamedTuple):
+    iterations: jnp.ndarray  # int32 — iterations actually applied
+    final_cost: jnp.ndarray  # f32   — weighted squared-error cost
+    total_obs: jnp.ndarray   # int32 — observations in the last pose pass
+
+
+def _proj_jacobian(cam: CameraParams, pc: jnp.ndarray) -> jnp.ndarray:
+    """d(pixel)/d(pc): [...,2,3] (reference ProjectionJacobian, local_ba.cpp:15-24)."""
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    inv_z = 1.0 / z
+    zeros = jnp.zeros_like(inv_z)
+    return jnp.stack(
+        [
+            jnp.stack([cam.fx * inv_z, zeros, -cam.fx * pc[..., 0] * inv_z**2], -1),
+            jnp.stack([zeros, cam.fy * inv_z, -cam.fy * pc[..., 1] * inv_z**2], -1),
+        ],
+        -2,
+    )
+
+
+def _huber_w(err_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """HuberWeight (local_ba.cpp:35-40): 1 inside delta, delta/err outside."""
+    return jnp.where(err_norm <= delta, 1.0, delta / jnp.maximum(err_norm, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> tuple[MapState, BAStats]:
+    """Run windowed alternating GN on the map state; returns updated state."""
+    W = max(1, opts.window_size)
+    slots, wvalid = msl.window_slots(ms, W)  # [W]
+    n_kf = jnp.sum(wvalid)
+    L = ms.lm_capacity
+    N = ms.n_features
+
+    # gather the window's feature tables once (slots are static-shape)
+    f_px = ms.kf_px[slots]          # [W,N,2]
+    f_valid = ms.kf_fvalid[slots] & wvalid[:, None]
+    f_lm = ms.kf_feat_lm[slots]     # [W,N]
+
+    has_lm = f_valid & (f_lm >= 0)
+    lm_idx = jnp.clip(f_lm, 0, L - 1)
+
+    # landmark eligibility for the POINT pass (local_ba.cpp:93-104):
+    # alive, observed in the window, global observation count >= min
+    global_obs = msl.landmark_observation_counts(ms)
+    in_window = jnp.zeros((L,), bool).at[jnp.where(has_lm, lm_idx, L).reshape(-1)].set(
+        True, mode="drop"
+    )
+    lm_eligible = ms.lm_alive & in_window & (global_obs >= opts.min_point_observations)
+
+    enabled = (n_kf >= 2) & jnp.any(lm_eligible)  # local_ba.cpp:73,106
+
+    q0 = ms.kf_q[slots]
+    t0 = ms.kf_t[slots]
+    pos0 = ms.lm_pos
+
+    def residuals(q, t, lm_pos):
+        """Per-observation projection residuals for the whole window.
+
+        Returns err [W,N,2], pc [W,N,3], obs mask [W,N] after the
+        validity + reprojection gates, and huber weights [W,N]."""
+        pw = lm_pos[lm_idx]                          # [W,N,3]
+        R = quat_to_matrix(q)                        # [W,3,3]
+        pc = jnp.einsum("wij,wnj->wni", R, pw) + t[:, None, :]
+        z_ok = pc[..., 2] > 1e-6
+        zs = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / zs + cam.cx
+        v = cam.fy * pc[..., 1] / zs + cam.cy
+        err = f_px - jnp.stack([u, v], -1)           # measured - projected
+        err_n = jnp.linalg.norm(err, axis=-1)
+        alive = ms.lm_alive[lm_idx]
+        obs = has_lm & alive & z_ok & (err_n <= opts.max_reproj_error)
+        w = _huber_w(err_n, opts.huber_delta)
+        return err, pc, obs, w
+
+    def iteration(carry, _):
+        q, t, lm_pos, last_cost, done, iters = carry
+
+        # ============ POSE PASS (landmarks fixed; local_ba.cpp:117-174) ====
+        err, pc, obs, w = residuals(q, t, lm_pos)
+        ww = jnp.where(obs, w, 0.0)
+
+        cost = jnp.sum(ww * jnp.sum(err * err, -1))
+        total_obs = jnp.sum(obs).astype(jnp.int32)
+
+        Jp = _proj_jacobian(cam, pc)                 # [W,N,2,3]
+        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (W, N, 3, 3))
+        Jse = jnp.concatenate([eye3, -so3_hat(pc)], -1)   # [W,N,3,6]
+        J = Jp @ Jse                                  # [W,N,2,6]
+        H = jnp.einsum("wnij,wnik,wn->wjk", J, J, ww) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
+        b = jnp.einsum("wnij,wni,wn->wj", J, err, ww)
+        dx = jnp.linalg.solve(H, b[..., None])[..., 0]  # [W,6]
+
+        pose_obs = jnp.sum(obs, axis=1)
+        apply_pose = (
+            (pose_obs >= opts.min_pose_observations)
+            & wvalid & ~done & enabled
+            & jnp.all(jnp.isfinite(dx), axis=-1)
+        )
+        dx = jnp.where(apply_pose[:, None], dx, 0.0)
+        newp = se3_compose(se3_exp(dx), Pose(q, t))   # left retraction (:173)
+        q2, t2 = newp.q, newp.t
+
+        # ============ POINT PASS (poses fixed; local_ba.cpp:177-238) =======
+        err2, pc2, obs2, w2 = residuals(q2, t2, lm_pos)
+        obs2 = obs2 & lm_eligible[lm_idx]
+        ww2 = jnp.where(obs2, w2, 0.0)
+        R2 = quat_to_matrix(q2)                       # [W,3,3]
+        Jp2 = _proj_jacobian(cam, pc2)                # [W,N,2,3]
+        Jpt = jnp.einsum("wnij,wjk->wnik", Jp2, R2)   # [W,N,2,3] J_proj @ R
+
+        Hc = jnp.einsum("wnij,wnik,wn->wnjk", Jpt, Jpt, ww2)  # [W,N,3,3]
+        bc = jnp.einsum("wnij,wni,wn->wnj", Jpt, err2, ww2)   # [W,N,3]
+
+        flat_lm = jnp.where(obs2, lm_idx, L).reshape(-1)
+        Hl = jnp.zeros((L, 3, 3), pc2.dtype).at[flat_lm].add(
+            Hc.reshape(-1, 3, 3), mode="drop"
+        )
+        bl = jnp.zeros((L, 3), pc2.dtype).at[flat_lm].add(
+            bc.reshape(-1, 3), mode="drop"
+        )
+        cnt = jnp.zeros((L,), jnp.int32).at[flat_lm].add(
+            obs2.reshape(-1).astype(jnp.int32), mode="drop"
+        )
+
+        Hl = Hl + 1e-6 * jnp.eye(3, dtype=pc2.dtype)
+        dp = jnp.linalg.solve(Hl, bl[..., None])[..., 0]  # [L,3]
+        apply_pt = (
+            (cnt >= opts.min_point_observations)
+            & lm_eligible & ~done & enabled
+            & jnp.all(jnp.isfinite(dp), axis=-1)
+        )
+        lm_pos2 = jnp.where(apply_pt[:, None], lm_pos + dp, lm_pos)
+
+        # ============ convergence (local_ba.cpp:240-247) ===================
+        converged = (total_obs == 0) | (
+            jnp.abs(last_cost - cost) < 1e-6 * last_cost
+        )
+        iters = iters + jnp.where(done | ~enabled, 0, 1)
+        done = done | converged
+
+        return (q2, t2, lm_pos2, cost, done, iters), (cost, total_obs)
+
+    init = (
+        q0, t0, pos0,
+        jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32),
+        ~enabled,
+        jnp.zeros((), jnp.int32),
+    )
+    (q, t, lm_pos, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
+        iteration, init, None, length=opts.max_iterations
+    )
+
+    # write window poses back (masked by window validity)
+    new_q = ms.kf_q.at[slots].set(jnp.where(wvalid[:, None], q, ms.kf_q[slots]))
+    new_t = ms.kf_t.at[slots].set(jnp.where(wvalid[:, None], t, ms.kf_t[slots]))
+    out = ms._replace(kf_q=new_q, kf_t=new_t, lm_pos=lm_pos)
+    return out, BAStats(iterations=iters, final_cost=cost, total_obs=obs_hist[-1])

@@ -1,0 +1,175 @@
+"""System driver: dataset -> extractor -> tracker -> trajectory/metrics.
+
+Replaces core/system/system.{h,cpp}: the reference spawns a tracking
+thread that imreads RGB+depth and sleeps 100 ms per frame
+(system.cpp:38-53); here the loop is a straight host pipeline with NO
+pacing sleep (SURVEY.md §2.1 "System" row), and the Pangolin viewer is
+replaced by the mandated host-side sinks (SURVEY.md §5.4): a TUM-format
+trajectory dump, per-frame JSONL metrics, and a map snapshot (poses +
+landmarks npz) for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import asdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import tum
+from ..eval import trajectory as traj
+from ..models.orb import OpenCVExtractor, sample_depth_at
+from ..ops.camera import make_camera
+from ..tracking import mapstate as msl
+from ..tracking.frontend import Tracker
+from ..tracking.stages import FrameObs
+from ..utils.config import SystemConfig
+
+log = logging.getLogger("vxs.system")
+
+
+class System:
+    """End-to-end runner for one sequence."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.dataset = tum.TumDataset(cfg.dataset_dir, cfg.sequence)
+        if not self.dataset.load():
+            raise RuntimeError(
+                f"Failed to load dataset: {cfg.dataset_dir}/{cfg.sequence}"
+            )
+        intr = self.dataset.intrinsics
+        self.cam = make_camera(
+            intr.fx, intr.fy, intr.cx, intr.cy, intr.k1, intr.k2, intr.p1, intr.p2
+        )
+        if cfg.extractor == "opencv":
+            self.extractor = OpenCVExtractor(n_features=cfg.n_features)
+        else:
+            from ..models.orb_jax import JaxOrbExtractor
+
+            self.extractor = JaxOrbExtractor(n_features=cfg.n_features)
+        self.tracker = Tracker(self.cam, cfg.tracking)
+        self.results = []
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        jsonl_path = os.path.join(cfg.output_dir, "frames.jsonl")
+        jsonl = open(jsonl_path, "w") if cfg.metrics_jsonl else None
+
+        entries = self.dataset.entries
+        if cfg.max_frames > 0:
+            entries = entries[: cfg.max_frames]
+
+        t_start = time.perf_counter()
+        for fid, (e, (gray, depth)) in enumerate(zip(entries, self._frames(entries))):
+            px, resp, desc, valid = self.extractor.extract(gray)
+            d = sample_depth_at(px, valid, depth)
+            obs = FrameObs(
+                px=jnp.asarray(px), response=jnp.asarray(resp),
+                desc=jnp.asarray(desc), valid=jnp.asarray(valid),
+                depth=jnp.asarray(d),
+            )
+            res = self.tracker.process(fid, e.timestamp, gray, obs)
+            self.results.append(res)
+            if jsonl:
+                rec = asdict(res)
+                rec["pose_T_cw"] = None if res.pose_T_cw is None else res.pose_T_cw.tolist()
+                jsonl.write(json.dumps(rec) + "\n")
+        wall = time.perf_counter() - t_start
+        if jsonl:
+            jsonl.close()
+
+        summary = self._write_outputs(entries, wall)
+        return summary
+
+    # ------------------------------------------------------------------
+    def _frames(self, entries):
+        """Yield (gray, depth_m) per entry — through the native C++ decode +
+        prefetch pipeline when available (decode overlaps compute), else the
+        Python (cv2) loader."""
+        if self.cfg.loader == "native":
+            from ..data import native_loader
+
+            if native_loader.available():
+                pf = native_loader.NativePrefetcher(
+                    [e.rgb_path for e in entries],
+                    [e.depth_path for e in entries],
+                    queue_depth=4, n_threads=2,
+                )
+                try:
+                    yield from pf
+                finally:
+                    pf.close()
+                return
+            log.warning("native loader unavailable; falling back to python")
+        for e in entries:
+            yield tum.load_rgb_gray(e.rgb_path), tum.load_depth_m(e.depth_path)
+
+    # ------------------------------------------------------------------
+    def _write_outputs(self, entries, wall: float) -> dict:
+        cfg = self.cfg
+        ts, mats, gt_t = [], [], []
+        for e, r in zip(entries, self.results):
+            if r.pose_T_cw is None:
+                continue
+            ts.append(r.timestamp)
+            mats.append(traj.tcw_to_twc(r.pose_T_cw))
+            gt_t.append(e.gt_t)
+        traj_path = os.path.join(cfg.output_dir, "trajectory.txt")
+        traj.write_tum_trajectory(traj_path, ts, mats)
+
+        summary = {
+            "sequence": cfg.sequence,
+            "n_frames": len(self.results),
+            "n_tracked": len(mats),
+            "n_keyframes": int(msl.n_keyframes(self.tracker.ms)),
+            "n_landmarks": int(msl.n_landmarks(self.tracker.ms)),
+            "wall_time_s": wall,
+            "fps": len(self.results) / max(wall, 1e-9),
+            "trajectory": traj_path,
+        }
+        if len(mats) >= 3:
+            est_t = np.asarray([m[:3, 3] for m in mats])
+            summary["ate_rmse"] = traj.ate_rmse(est_t, np.asarray(gt_t))
+            T_est = np.asarray(mats)
+            T_gt = np.stack([_gt_mat(e) for e, r in zip(entries, self.results)
+                             if r.pose_T_cw is not None])
+            rpe_t, rpe_r = traj.rpe_rmse(T_est, T_gt)
+            summary["rpe_trans_rmse"] = rpe_t
+            summary["rpe_rot_rmse"] = rpe_r
+
+        self.save_snapshot(os.path.join(cfg.output_dir, "map_snapshot.npz"))
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        log.info("Summary: %s", summary)
+        return summary
+
+    # ------------------------------------------------------------------
+    def save_snapshot(self, path: str):
+        """Map-state checkpoint (SURVEY.md §5.4: the reference has none; the
+        map is a pytree so the snapshot is a flat npz)."""
+        ms = self.tracker.ms
+        np.savez_compressed(
+            path, **{k: np.asarray(v) for k, v in ms._asdict().items()}
+        )
+
+    @staticmethod
+    def load_snapshot(path: str):
+        from ..tracking.mapstate import MapState
+
+        z = np.load(path)
+        return MapState(**{k: jnp.asarray(z[k]) for k in z.files})
+
+
+def _gt_mat(e) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    T = np.eye(4)
+    T[:3, :3] = Rotation.from_quat(e.gt_q).as_matrix()
+    T[:3, 3] = e.gt_t
+    return T

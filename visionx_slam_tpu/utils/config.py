@@ -61,6 +61,25 @@ class TrackingOptions:
     ba_huber_delta: float = 5.0
     ba_max_reproj_error: float = 5.0
 
+    # ===== New-framework extensions (not reference flags) =====
+    # Recover the metric scale of the two-frame essential initialization
+    # from RGB-D depth (the reference keeps recoverPose's unit-norm t,
+    # tracking.cpp:539-541, leaving its init at arbitrary scale against its
+    # own metric depth landmarks). False = strict reference behavior.
+    init_scale_from_depth: bool = True
+    # Initialize the second frame by PnP against the first frame's
+    # depth-backprojected landmarks when depth is available (tiny-baseline
+    # essential estimation is ill-conditioned and leaves the reference's
+    # init internally inconsistent). Falls back to the essential path when
+    # too few depth points exist (monocular input). False = strict
+    # reference behavior (essential init always).
+    rgbd_init: bool = True
+    # Apply the same depth-based scale recovery to the TrackLastFrame
+    # essential fallback (the reference composes recoverPose's unit-norm
+    # translation there too — SURVEY.md known quirk "scale drift risk",
+    # tracking.cpp:539-541 via :315). False = strict reference behavior.
+    fallback_scale_from_depth: bool = True
+
 
 @dataclass
 class SystemConfig:
@@ -81,6 +100,7 @@ class SystemConfig:
     output_dir: str = "output"          # trajectory + metrics destination
     max_frames: int = -1                # -1 = whole sequence
     extractor: str = "jax"              # "jax" (on-device ORB) | "opencv" (host oracle)
+    loader: str = "native"              # "native" (C++ prefetch pipeline) | "python"
     n_features: int = 1000              # reference: orb_extractor.h:11
     metrics_jsonl: bool = True          # per-frame structured metrics
 
