@@ -99,9 +99,14 @@ def make_scene(seed: int = 0) -> list[Plane]:
     return planes
 
 
-def trajectory_pose(i: int, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Camera-to-world pose (R_wc, t_wc) along a smooth exploratory path."""
-    s = i / max(n - 1, 1)
+def trajectory_pose(i: int, n: int, frames_per_loop: int = 240) -> tuple[np.ndarray, np.ndarray]:
+    """Camera-to-world pose (R_wc, t_wc) along a smooth exploratory path.
+
+    The path is parameterized by FRAME INDEX at fixed speed (one full loop
+    per ``frames_per_loop`` frames at 30 fps -> ~0.35 m/s peak, fr1-class
+    motion) so short sequences do not become artificially fast.
+    """
+    s = i / frames_per_loop
     t = np.array(
         [
             0.45 * np.sin(2.0 * np.pi * s),

@@ -58,12 +58,20 @@ class System:
     def run(self) -> dict:
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
-        jsonl_path = os.path.join(cfg.output_dir, "frames.jsonl")
-        jsonl = open(jsonl_path, "w") if cfg.metrics_jsonl else None
-
         entries = self.dataset.entries
         if cfg.max_frames > 0:
             entries = entries[: cfg.max_frames]
+
+        if cfg.pipeline == "scan":
+            return self._run_scan(entries)
+        return self._run_host(entries)
+
+    # ------------------------------------------------------------------
+    def _run_host(self, entries) -> dict:
+        """Per-frame host state machine (reference-parity path)."""
+        cfg = self.cfg
+        jsonl_path = os.path.join(cfg.output_dir, "frames.jsonl")
+        jsonl = open(jsonl_path, "w") if cfg.metrics_jsonl else None
 
         t_start = time.perf_counter()
         for fid, (e, (gray, depth)) in enumerate(zip(entries, self._frames(entries))):
@@ -85,6 +93,66 @@ class System:
             jsonl.close()
 
         summary = self._write_outputs(entries, wall)
+        return summary
+
+    # ------------------------------------------------------------------
+    def _run_scan(self, entries) -> dict:
+        """Fused on-device lax.scan over the whole sequence (fast path).
+
+        Host work = decode + one upload; the tracker loop never touches the
+        host. Frame results are reconstructed from the stacked outputs so
+        downstream reporting is identical to the host path.
+        """
+        import jax
+
+        from ..tracking.frontend import FrameResult, State
+        from ..tracking.scan_pipeline import run_scan_pipeline
+
+        cfg = self.cfg
+        t_load0 = time.perf_counter()
+        grays, depths = [], []
+        for gray, depth in self._frames(entries):
+            grays.append(gray)
+            depths.append(depth)
+        grays = np.stack(grays)
+        depths = np.stack(depths)
+        t_load = time.perf_counter() - t_load0
+
+        t0 = time.perf_counter()
+        st, outs = run_scan_pipeline(
+            self.cam, grays, depths, cfg.tracking,
+            orb_kwargs={"n_features": cfg.n_features},
+        )
+        jax.block_until_ready(outs)
+        t_scan = time.perf_counter() - t0
+        self.tracker.ms = st.ms  # adopt the final map (global BA / snapshot)
+
+        tracked = np.asarray(outs.tracked)
+        poses = np.asarray(outs.pose)
+        states = np.asarray(outs.state)
+        state_names = {0: "INIT", 1: "TRACKING_GOOD", 2: "TRACKING_BAD", 3: "LOST"}
+        self.results = []
+        for i, e in enumerate(entries):
+            self.results.append(
+                FrameResult(
+                    frame_id=i,
+                    timestamp=e.timestamp,
+                    state=state_names[int(states[i])],
+                    pose_T_cw=poses[i] if tracked[i] else None,
+                    n_matches=int(np.asarray(outs.n_matches)[i]),
+                    n_inliers=int(np.asarray(outs.n_inliers)[i]),
+                    parallax=float(np.asarray(outs.parallax)[i]),
+                    is_keyframe=bool(np.asarray(outs.is_keyframe)[i]),
+                    n_keyframes=int(np.asarray(outs.n_keyframes)[i]),
+                    n_landmarks=int(np.asarray(outs.n_landmarks)[i]),
+                )
+            )
+        summary = self._write_outputs(entries, t_load + t_scan)
+        summary["scan_time_s"] = t_scan
+        summary["decode_time_s"] = t_load
+        summary["scan_fps"] = len(entries) / max(t_scan, 1e-9)
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
         return summary
 
     # ------------------------------------------------------------------
@@ -143,11 +211,53 @@ class System:
             summary["rpe_trans_rmse"] = rpe_t
             summary["rpe_rot_rmse"] = rpe_r
 
+        if cfg.run_global_ba:
+            summary["global_ba"] = self._run_global_ba()
+
         self.save_snapshot(os.path.join(cfg.output_dir, "map_snapshot.npz"))
         with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=2)
         log.info("Summary: %s", summary)
         return summary
+
+    # ------------------------------------------------------------------
+    def _run_global_ba(self) -> dict:
+        """Full-map Schur-complement BA (BASELINE config 4); refines the
+        keyframe ring + landmark table in place and dumps the refined
+        keyframe trajectory."""
+        import jax.numpy as jnp
+
+        from ..models.global_ba import GlobalBAOptions, global_ba
+        from ..ops.se3 import se3_matrix
+        from ..tracking.mapstate import MapState  # noqa: F401
+
+        ms = self.tracker.ms
+        ms2, stats = global_ba(
+            ms, self.cam,
+            GlobalBAOptions(max_iterations=self.cfg.global_ba_iterations),
+        )
+        self.tracker.ms = ms2
+
+        kf_alive = np.asarray(msl.kf_alive(ms2))
+        kf_ids = np.asarray(ms2.kf_id)
+        order = np.argsort(np.where(kf_alive, kf_ids, np.iinfo(np.int32).max))
+        ts_by_id = {r.frame_id: r.timestamp for r in self.results}
+        ts, mats = [], []
+        for slot in order:
+            if not kf_alive[slot]:
+                continue
+            fid = int(kf_ids[slot])
+            pose = msl.map_pose(ms2, jnp.asarray(slot))
+            ts.append(ts_by_id.get(fid, float(fid)))
+            mats.append(traj.tcw_to_twc(np.asarray(se3_matrix(pose))))
+        path = os.path.join(self.cfg.output_dir, "trajectory_keyframes_gba.txt")
+        traj.write_tum_trajectory(path, ts, mats)
+        return {
+            "iterations": int(stats.iterations),
+            "final_cost": float(stats.final_cost),
+            "total_obs": int(stats.total_obs),
+            "keyframe_trajectory": path,
+        }
 
     # ------------------------------------------------------------------
     def save_snapshot(self, path: str):

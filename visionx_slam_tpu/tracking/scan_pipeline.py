@@ -1,0 +1,524 @@
+"""Fully-fused on-device SLAM: the whole sequence as ONE ``lax.scan``.
+
+This is the performance-critical realization of the SURVEY.md north star
+("the inherently sequential track->match->optimize loop restructured into a
+keyframe-windowed lax.scan so pose estimation, triangulation and local BA
+all stay on device"). The host uploads the image/depth stacks once and
+receives per-frame poses + stats once; NO host round trip happens inside
+the loop — on the tunneled single-chip setup each host sync costs more
+than the compute of an entire frame.
+
+The scan body reproduces the reference state machine
+(core/frontend/tracking.cpp) with device control flow:
+
+- the INIT / TRACKING_GOOD / TRACKING_BAD / LOST dispatch is a
+  ``lax.switch`` on an int32 state code;
+- two-frame initialization, PnP-first tracking with an essential-matrix
+  fallback (entered via ``lax.cond`` so the fallback only costs cycles
+  when PnP fails), keyframe creation, culling and windowed BA are
+  conditional branches over the same fixed-shape MapState;
+- BAD/LOST recovery clears the map via mask resets (the reference's
+  ``map_->removeAll()``, tracking.cpp:477-499) and re-enters INIT.
+
+Semantics match the host frontend (``frontend.py``) — both share the same
+stage functions; the host frontend remains the step-by-step/debug path,
+this is the fast path used by the benchmark.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import matching
+from ..models.estimation import (
+    essential_ransac,
+    essential_scale_from_depth,
+    pnp_ransac,
+)
+from ..models.local_ba import BAOptions, local_ba
+from ..models.orb_jax import orb_extract
+from ..ops.camera import CameraParams, backproject
+from ..ops.se3 import Pose, identity_pose, matrix_to_quat, se3_compose, se3_matrix
+from ..utils.config import TrackingOptions
+from . import mapstate as msl
+from . import stages
+from .mapstate import FREE, MapState
+from .stages import FrameObs
+
+# state machine codes (reference tracking.h:22)
+INIT, GOOD, BAD, LOST = 0, 1, 2, 3
+
+DEG1_RAD = 0.017453292519943295  # the reference's 1-degree constant
+
+
+class ScanState(NamedTuple):
+    ms: MapState
+    tstate: jnp.ndarray        # int32 state code
+    have_init: jnp.ndarray     # bool: first init frame stored
+    init_obs: FrameObs
+    init_frame_id: jnp.ndarray
+    init_kf_slot: jnp.ndarray
+    last_obs: FrameObs
+    last_pose: Pose
+    cur_pose: Pose
+    last_kf_slot: jnp.ndarray  # int32 (-1 = none)
+    last_kf_id: jnp.ndarray
+    last_inliers: jnp.ndarray
+    last_parallax: jnp.ndarray
+
+
+class FrameOut(NamedTuple):
+    pose: jnp.ndarray       # [4,4] T_cw (identity when untracked)
+    tracked: jnp.ndarray    # bool — pose valid this frame
+    state: jnp.ndarray      # int32 state AFTER the frame
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    parallax: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    n_keyframes: jnp.ndarray
+    n_landmarks: jnp.ndarray
+
+
+def _empty_obs(n: int) -> FrameObs:
+    return FrameObs(
+        px=jnp.zeros((n, 2), jnp.float32),
+        response=jnp.zeros((n,), jnp.float32),
+        desc=jnp.zeros((n, 32), jnp.uint8),
+        valid=jnp.zeros((n,), bool),
+        depth=jnp.zeros((n,), jnp.float32),
+    )
+
+
+def _clear_map(ms: MapState) -> MapState:
+    """map_->removeAll() (map.cpp:40-47) as mask resets."""
+    return ms._replace(
+        kf_id=jnp.full_like(ms.kf_id, -1),
+        kf_fvalid=jnp.zeros_like(ms.kf_fvalid),
+        kf_feat_lm=jnp.full_like(ms.kf_feat_lm, FREE),
+        lm_alive=jnp.zeros_like(ms.lm_alive),
+        next_kf=jnp.zeros_like(ms.next_kf),
+        next_lm=jnp.zeros_like(ms.next_lm),
+        lm_dropped=jnp.zeros_like(ms.lm_dropped),
+    )
+
+
+def _sample_depth(depth_img, px, valid):
+    """Depth at the rounded keypoint pixel (tracking.cpp:614-626)."""
+    H, W = depth_img.shape
+    u = jnp.round(px[:, 0]).astype(jnp.int32)
+    v = jnp.round(px[:, 1]).astype(jnp.int32)
+    ok = valid & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    d = depth_img[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
+    return jnp.where(ok, d, 0.0)
+
+
+def _select(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def build_scan_step(
+    cam: CameraParams,
+    opts: TrackingOptions,
+    img_wh: tuple[int, int],
+    *,
+    n_features_cap: int = 1024,
+    kf_capacity: int = 64,
+    lm_capacity: int = 1 << 17,
+    orb_kwargs: dict | None = None,
+):
+    """Build the per-frame scan body, closed over static options."""
+    orb_kwargs = dict(orb_kwargs or {})
+    orb_kwargs.setdefault("n_slots", n_features_cap)
+    W_IMG, H_IMG = img_wh
+
+    ba_opts = BAOptions(
+        window_size=opts.ba_window_size,
+        max_iterations=opts.ba_iterations,
+        min_pose_observations=opts.ba_min_pose_observations,
+        min_point_observations=opts.ba_min_point_observations,
+        huber_delta=opts.ba_huber_delta,
+        max_reproj_error=opts.ba_max_reproj_error,
+    )
+
+    def mat_pose(R, t):
+        return Pose(matrix_to_quat(R), t)
+
+    # ------------------------------------------------------------------
+    def track_branch(st: ScanState, obs, frame_id, key):
+        """TRACKING_GOOD: PnP vs last keyframe; essential fallback entered
+        only when PnP fails (tracking.cpp:267-330)."""
+        slot = jnp.maximum(st.last_kf_slot, 0)
+        k1, k2 = jax.random.split(key)
+
+        m = matching.match_frames(
+            st.ms.kf_desc[slot], st.ms.kf_fvalid[slot], obs.desc, obs.valid
+        )
+        n_matches = jnp.sum(m.valid).astype(jnp.int32)
+        pts3d, pts2d, pvalid = stages.pnp_correspondences(st.ms, slot, obs, m)
+        n_pairs = jnp.sum(pvalid).astype(jnp.int32)
+        sol = pnp_ransac(
+            cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
+            init_pose=st.cur_pose,
+        )
+        pnp_ok = (
+            (n_matches >= opts.min_matches)
+            & (n_pairs >= opts.min_inliers)
+            & sol.ok
+            & (sol.n_inliers >= opts.min_inliers)
+            & jnp.all(jnp.isfinite(sol.pose.q))
+            & jnp.all(jnp.isfinite(sol.pose.t))
+        )
+
+        def pnp_result(_):
+            par = stages.parallax_px(st.ms.kf_px[slot], obs.px, m)
+            return sol.pose, sol.n_inliers, par, n_matches, jnp.asarray(True)
+
+        def fallback(_):
+            mf = matching.match_frames(
+                st.last_obs.desc, st.last_obs.valid, obs.desc, obs.valid
+            )
+            nf = jnp.sum(mf.valid).astype(jnp.int32)
+            ess = essential_ransac(
+                cam, st.last_obs.px, obs.px[mf.idx], mf.valid, k2
+            )
+            t_rel = ess.t
+            if opts.fallback_scale_from_depth:
+                t_rel = ess.t * essential_scale_from_depth(
+                    cam, ess, st.last_obs.px, obs.px[mf.idx], st.last_obs.depth
+                )
+            pose_fb = se3_compose(mat_pose(ess.R, t_rel), st.last_pose)
+            par = stages.parallax_px(st.last_obs.px, obs.px, mf)
+            ok = (nf >= opts.min_matches) & ess.ok & (
+                ess.n_inliers >= opts.min_inliers
+            )
+            return pose_fb, ess.n_inliers, par, nf, ok
+
+        pose, inliers, parallax, n_matches_out, ok = jax.lax.cond(
+            pnp_ok, pnp_result, fallback, None
+        )
+
+        st = st._replace(
+            cur_pose=_select(ok, pose, st.cur_pose),
+            last_inliers=jnp.where(ok, inliers, st.last_inliers),
+            last_parallax=jnp.where(ok, parallax, st.last_parallax),
+        )
+        return st, n_matches_out, inliers, parallax, ok
+
+    # ------------------------------------------------------------------
+    def init_first(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
+        """InitWithFirstFrame (tracking.cpp:177-204)."""
+        n = jnp.sum(obs.valid)
+        dist_ok = stages.feature_distribution_ok(obs.px, obs.valid, W_IMG, H_IMG)
+        quality_ok = (gray_mean >= 30) & (gray_mean <= 225) & (gray_std >= 20)
+        ok = (n >= opts.min_matches) & dist_ok & quality_ok
+
+        st = jax.lax.cond(
+            ok,
+            lambda s: s._replace(
+                have_init=jnp.asarray(True),
+                init_obs=obs,
+                init_frame_id=frame_id.astype(jnp.int32),
+                cur_pose=identity_pose(),
+            ),
+            lambda s: s,
+            st,
+        )
+        return st, jnp.int32(0), jnp.int32(0), jnp.float32(0), ok
+
+    # ------------------------------------------------------------------
+    def init_second(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
+        """InitWithSecondFrame (tracking.cpp:206-263), with the RGB-D PnP
+        init extension and the reference's pixel/radian parallax quirk."""
+        k1, k2 = jax.random.split(key)
+        m = matching.match_frames(
+            st.init_obs.desc, st.init_obs.valid, obs.desc, obs.valid
+        )
+        n_matches = jnp.sum(m.valid).astype(jnp.int32)
+        parallax = stages.parallax_px(st.init_obs.px, obs.px, m)
+
+        if opts.rgbd_init:
+            d = st.init_obs.depth
+            good_d = (d >= stages.MIN_DEPTH) & (d <= stages.MAX_DEPTH)
+            pw = backproject(cam, st.init_obs.px, d)
+            pvalid = m.valid & good_d
+            sol = pnp_ransac(
+                cam, pw, obs.px[m.idx], pvalid, k1, opts.max_reproj_error,
+                init_pose=identity_pose(),
+            )
+            pnp_ok = (
+                (jnp.sum(pvalid) >= opts.min_inliers)
+                & sol.ok
+                & (sol.n_inliers >= opts.min_inliers)
+            )
+        else:
+            sol = None
+            pnp_ok = jnp.asarray(False)
+
+        ess = essential_ransac(cam, st.init_obs.px, obs.px[m.idx], m.valid, k2)
+        t_init = ess.t
+        if opts.init_scale_from_depth:
+            t_init = ess.t * essential_scale_from_depth(
+                cam, ess, st.init_obs.px, obs.px[m.idx], st.init_obs.depth
+            )
+        ess_ok = ess.ok & (ess.n_inliers >= opts.min_inliers)
+
+        pose_e = mat_pose(ess.R, t_init)
+        if opts.rgbd_init:
+            pose2 = _select(pnp_ok, sol.pose, pose_e)
+            inliers = jnp.where(pnp_ok, sol.n_inliers, ess.n_inliers)
+        else:
+            pose2 = pose_e
+            inliers = ess.n_inliers
+
+        ok = (
+            (n_matches >= opts.min_matches)
+            & (pnp_ok | ess_ok)
+            & (parallax >= DEG1_RAD)  # reference quirk: pixels vs radians
+        )
+
+        def accept(st):
+            ms = st.ms
+            ms, slot1 = msl.insert_keyframe(
+                ms, st.init_frame_id, identity_pose(),
+                st.init_obs.px, st.init_obs.desc, st.init_obs.valid,
+                jnp.full((n_features_cap,), FREE, jnp.int32), st.init_obs.depth,
+            )
+            ms, slot2 = msl.insert_keyframe(
+                ms, frame_id.astype(jnp.int32), pose2,
+                obs.px, obs.desc, obs.valid,
+                jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
+            )
+            ms = stages.depth_landmarks(ms, cam, slot1, identity_pose())
+            ms = stages.depth_landmarks(ms, cam, slot2, pose2)
+            ms = stages.triangulate_pair(
+                ms, cam, slot1, slot2,
+                opts.triangulation_min_angle_deg,
+                opts.triangulation_max_reproj_error,
+            )
+            return st._replace(
+                ms=ms,
+                init_kf_slot=slot1.astype(jnp.int32),
+                last_kf_slot=slot2.astype(jnp.int32),
+                last_kf_id=frame_id.astype(jnp.int32),
+                cur_pose=pose2,
+                last_obs=obs,
+                last_pose=pose2,
+                last_inliers=inliers,
+                last_parallax=parallax,
+            )
+
+        st = jax.lax.cond(ok, accept, lambda s: s, st)
+        return st, n_matches, inliers, parallax, ok
+
+    # ------------------------------------------------------------------
+    def create_keyframe(st: ScanState, obs, frame_id):
+        """CreateKeyFrame + culling + local BA (tracking.cpp:76-85, 577-584)."""
+        ms = st.ms
+        prev_slot = jnp.maximum(st.last_kf_slot, 0)
+        ms, slot = msl.insert_keyframe(
+            ms, frame_id.astype(jnp.int32), st.cur_pose,
+            obs.px, obs.desc, obs.valid,
+            jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
+        )
+        ms = stages.depth_landmarks(ms, cam, slot, st.cur_pose)
+        ms = stages.triangulate_pair(
+            ms, cam, prev_slot, slot,
+            opts.triangulation_min_angle_deg,
+            opts.triangulation_max_reproj_error,
+        )
+        if opts.enable_culling:
+            def cull(ms):
+                ms2, _ = stages.cull_landmarks(
+                    ms, cam, opts.landmark_max_reproj_error,
+                    opts.min_landmark_observations,
+                )
+                return ms2
+
+            ms = jax.lax.cond(
+                msl.n_landmarks(ms) >= opts.min_landmarks_for_culling,
+                cull, lambda m: m, ms,
+            )
+            ms = stages.cull_keyframes_device(
+                ms, cam, slot, st.init_kf_slot, frame_id.astype(jnp.int32),
+                min_keyframes_for_culling=opts.min_keyframes_for_culling,
+                max_keyframes=opts.max_keyframes,
+                kf_min_shared_observations=opts.kf_min_shared_observations,
+                kf_redundant_ratio=opts.kf_redundant_ratio,
+                landmark_max_reproj_error=opts.landmark_max_reproj_error,
+                min_landmark_observations=opts.min_landmark_observations,
+            )
+        if opts.enable_local_ba:
+            ms, _ = local_ba(ms, cam, ba_opts)
+        new_pose = msl.map_pose(ms, slot)
+        return st._replace(
+            ms=ms,
+            last_kf_slot=slot.astype(jnp.int32),
+            last_kf_id=frame_id.astype(jnp.int32),
+            cur_pose=new_pose,
+        )
+
+    # ------------------------------------------------------------------
+    def step(st: ScanState, inp):
+        frame_id, gray, depth_img = inp
+        key = jax.random.fold_in(jax.random.PRNGKey(17), frame_id)
+
+        px, resp, desc, fvalid = orb_extract(gray, **orb_kwargs)
+        dfeat = _sample_depth(depth_img, px, fvalid)
+        obs = FrameObs(px, resp, desc, fvalid, dfeat)
+        grayf = gray.astype(jnp.float32)
+        gray_mean = jnp.mean(grayf)
+        gray_std = jnp.std(grayf)
+
+        def do_init(st):
+            return jax.lax.cond(
+                st.have_init,
+                lambda s: init_second(s, obs, frame_id, gray_mean, gray_std, key),
+                lambda s: init_first(s, obs, frame_id, gray_mean, gray_std, key),
+                st,
+            )
+
+        def do_good(st):
+            st2, n_matches, inliers, parallax, ok = track_branch(
+                st, obs, frame_id, key
+            )
+            # HandleTrackingFailure (tracking.cpp:467-475): GOOD -> BAD
+            st2 = st2._replace(
+                tstate=jnp.where(ok, st2.tstate, jnp.int32(BAD))
+            )
+            return st2, n_matches, inliers, parallax, ok
+
+        def do_reset(st):
+            # HandleTrackingBad/Lost (tracking.cpp:477-499)
+            st2 = st._replace(
+                ms=_clear_map(st.ms),
+                tstate=jnp.int32(INIT),
+                have_init=jnp.asarray(False),
+                init_kf_slot=jnp.int32(-1),
+                last_kf_slot=jnp.int32(-1),
+                last_kf_id=jnp.int32(-1),
+                last_inliers=jnp.int32(0),
+                last_parallax=jnp.float32(0),
+            )
+            return (st2, jnp.int32(0), jnp.int32(0), jnp.float32(0),
+                    jnp.asarray(False))
+
+        was_state = st.tstate
+        was_init_first = (was_state == INIT) & ~st.have_init
+        was_init_second = (was_state == INIT) & st.have_init
+
+        branch = jnp.where(was_state == INIT, 0,
+                           jnp.where(was_state == GOOD, 1, 2))
+        st2, n_matches, inliers, parallax, step_ok = jax.lax.switch(
+            branch, [do_init, do_good, do_reset], st
+        )
+
+        just_initialized = was_init_second & step_ok
+        tracked_now = ((was_state == GOOD) & step_ok) | just_initialized
+
+        # ---------------- keyframe policy (tracking.cpp:562-575) ----------
+        need_kf = (
+            (was_state == GOOD) & step_ok
+            & (st2.last_kf_slot >= 0)
+            & (st2.last_inliers >= opts.min_keyframe_inliers)
+            & (st2.last_parallax >= opts.min_parallax)
+            & ((frame_id.astype(jnp.int32) - st2.last_kf_id)
+               >= opts.min_keyframe_gap)
+        )
+        st3 = jax.lax.cond(
+            need_kf, lambda s: create_keyframe(s, obs, frame_id), lambda s: s,
+            st2,
+        )
+
+        # ---------------- post-frame state update (tracking.cpp:87-88) ----
+        new_tstate = jnp.where(
+            tracked_now,
+            jnp.where(st3.last_inliers >= opts.min_inliers,
+                      jnp.int32(GOOD), jnp.int32(BAD)),
+            st3.tstate,
+        )
+        st4 = st3._replace(
+            tstate=new_tstate,
+            last_obs=_select(tracked_now, obs, st3.last_obs),
+            last_pose=_select(tracked_now, st3.cur_pose, st3.last_pose),
+        )
+
+        reports_pose = tracked_now | (was_init_first & step_ok)
+        out = FrameOut(
+            pose=se3_matrix(st4.cur_pose),
+            tracked=reports_pose,
+            state=st4.tstate,
+            n_matches=n_matches,
+            n_inliers=inliers,
+            parallax=parallax,
+            is_keyframe=need_kf | just_initialized,
+            n_keyframes=msl.n_keyframes(st4.ms),
+            n_landmarks=msl.n_landmarks(st4.ms),
+        )
+        return st4, out
+
+    return step
+
+
+def initial_state(n_features_cap=1024, kf_capacity=64, lm_capacity=1 << 17) -> ScanState:
+    return ScanState(
+        ms=msl.empty_map(kf_capacity, lm_capacity, n_features_cap),
+        tstate=jnp.int32(INIT),
+        have_init=jnp.asarray(False),
+        init_obs=_empty_obs(n_features_cap),
+        init_frame_id=jnp.int32(-1),
+        init_kf_slot=jnp.int32(-1),
+        last_obs=_empty_obs(n_features_cap),
+        last_pose=identity_pose(),
+        cur_pose=identity_pose(),
+        last_kf_slot=jnp.int32(-1),
+        last_kf_id=jnp.int32(-1),
+        last_inliers=jnp.int32(0),
+        last_parallax=jnp.float32(0),
+    )
+
+
+@lru_cache(maxsize=8)
+def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
+                   orb_kwargs_tuple):
+    opts = TrackingOptions(**dict(opts_key))
+
+    def run(cam, images_u8, depths_m):
+        T = images_u8.shape[0]
+        step = build_scan_step(
+            cam, opts, img_wh,
+            n_features_cap=n_features_cap,
+            kf_capacity=kf_capacity,
+            lm_capacity=lm_capacity,
+            orb_kwargs=dict(orb_kwargs_tuple),
+        )
+        st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
+        frame_ids = jnp.arange(T, dtype=jnp.int32)
+        return jax.lax.scan(step, st0, (frame_ids, images_u8, depths_m))
+
+    return jax.jit(run)
+
+
+def run_scan_pipeline(
+    cam: CameraParams,
+    images_u8,            # [T,H,W] uint8
+    depths_m,             # [T,H,W] float32
+    opts: TrackingOptions,
+    n_features_cap: int = 1024,
+    kf_capacity: int = 64,
+    lm_capacity: int = 1 << 17,
+    orb_kwargs: dict | None = None,
+) -> tuple[ScanState, FrameOut]:
+    """Run the whole sequence on device; returns (final state, per-frame
+    outputs stacked along T)."""
+    T, H, W = images_u8.shape
+    opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
+    fn = _compiled_scan(
+        opts_key, (W, H), n_features_cap, kf_capacity, lm_capacity,
+        tuple(sorted((orb_kwargs or {}).items())),
+    )
+    return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))

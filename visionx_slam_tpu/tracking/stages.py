@@ -241,6 +241,53 @@ def cull_landmarks(
     return msl.remove_landmarks(ms, kill), jnp.sum(kill).astype(jnp.int32)
 
 
+def cull_keyframes_device(
+    ms: MapState,
+    cam: CameraParams,
+    last_kf_slot: jnp.ndarray,
+    init_kf_slot: jnp.ndarray,
+    current_frame_id: jnp.ndarray,
+    *,
+    min_keyframes_for_culling: int,
+    max_keyframes: int,
+    kf_min_shared_observations: int,
+    kf_redundant_ratio: float,
+    landmark_max_reproj_error: float,
+    min_landmark_observations: int,
+) -> MapState:
+    """Device-side CullKeyFrames (tracking.cpp:775-840): remove at most ONE
+    redundant keyframe — the first in ascending frame-id order, excluding
+    the last keyframe, the init keyframe and the current frame — then cull
+    landmarks again. Fully jittable for the fused scan pipeline."""
+    n_kf = msl.n_keyframes(ms)
+    ratio, total = keyframe_redundancy(
+        ms, jnp.asarray(kf_min_shared_observations)
+    )
+    exceeded = (max_keyframes > 0) & (n_kf > max_keyframes)
+    eligible = (
+        msl.kf_alive(ms)
+        & (total > 0)
+        & (jnp.arange(ms.kf_capacity) != last_kf_slot)
+        & (jnp.arange(ms.kf_capacity) != init_kf_slot)
+        & (ms.kf_id != current_frame_id.astype(jnp.int32))
+        & (ratio > kf_redundant_ratio)
+        & (exceeded | (ratio > 0.95))
+    )
+    # first eligible in ascending frame-id order
+    ids = jnp.where(eligible, ms.kf_id, jnp.iinfo(jnp.int32).max)
+    slot = jnp.argmin(ids)
+    do_cull = (n_kf > min_keyframes_for_culling) & jnp.any(eligible)
+
+    def cull(ms):
+        ms2 = msl.remove_keyframe_slot(ms, slot)
+        ms2, _ = cull_landmarks(
+            ms2, cam, landmark_max_reproj_error, min_landmark_observations
+        )
+        return ms2
+
+    return jax.lax.cond(do_cull, cull, lambda m: m, ms)
+
+
 @jax.jit
 def keyframe_redundancy(
     ms: MapState, min_shared: jnp.ndarray

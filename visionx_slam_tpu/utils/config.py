@@ -101,6 +101,11 @@ class SystemConfig:
     max_frames: int = -1                # -1 = whole sequence
     extractor: str = "jax"              # "jax" (on-device ORB) | "opencv" (host oracle)
     loader: str = "native"              # "native" (C++ prefetch pipeline) | "python"
+    run_global_ba: bool = False         # full-map Schur BA after the sequence
+    global_ba_iterations: int = 10
+    # "scan": whole sequence fused into one on-device lax.scan (fast path);
+    # "host": per-frame host state machine (reference-parity/debug path)
+    pipeline: str = "host"
     n_features: int = 1000              # reference: orb_extractor.h:11
     metrics_jsonl: bool = True          # per-frame structured metrics
 
