@@ -49,9 +49,10 @@ def build_map(rng, n_kf=7, n_lm=120, px_noise=0.25, pose_err=0.004, point_err=0.
             jnp.zeros((N, 32), jnp.uint8), jnp.asarray(valid),
             jnp.asarray(links), jnp.zeros(N, jnp.float32),
         )
-    pos = np.zeros((L_CAP, 3), np.float32)
+    Lp = ms.lm_pos.shape[0]
+    pos = np.zeros((Lp, 3), np.float32)
     pos[:n_lm] = X_gt + rng.normal(scale=point_err, size=X_gt.shape)
-    alive = np.zeros(L_CAP, bool)
+    alive = np.zeros(Lp, bool)
     alive[:n_lm] = True
     ms = ms._replace(lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),
                      next_lm=jnp.asarray(n_lm, jnp.int32))

@@ -58,9 +58,10 @@ def build_window(rng, n_kf=5, n_lm=100, px_noise=0.3, pose_err=0.004, point_err=
         )
 
     X_init = X_gt + rng.normal(scale=point_err, size=X_gt.shape)
-    pos = np.zeros((L_CAP, 3), np.float32)
+    Lp = ms.lm_pos.shape[0]  # physical size (logical capacity + padding)
+    pos = np.zeros((Lp, 3), np.float32)
     pos[:n_lm] = X_init
-    alive = np.zeros(L_CAP, bool)
+    alive = np.zeros(Lp, bool)
     alive[:n_lm] = True
     ms = ms._replace(
         lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),

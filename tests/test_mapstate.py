@@ -69,9 +69,14 @@ def test_allocate_landmarks_and_overflow():
 
 
 def test_observation_counts_and_removal():
+    # correct mutation order: allocate landmarks (creation sets the base
+    # count), then link them from keyframes (insert adds per link)
     ms = mk()
+    ms, slots = msl.allocate_landmarks(
+        ms, jnp.asarray(np.arange(N) < 4), jnp.ones((N, 3), jnp.float32),
+        obs_init=0,
+    )
     px, desc, valid, feat_lm, depth = dummy_frame(0)
-    # two keyframes, both observing landmarks 0..3 at features 0..3
     links = np.full(N, msl.FREE, np.int32)
     links[:4] = np.arange(4)
     for i in range(2):
@@ -79,14 +84,12 @@ def test_observation_counts_and_removal():
             ms, jnp.asarray(i), identity_pose(), px, desc, valid,
             jnp.asarray(links), depth
         )
-    ms, slots = msl.allocate_landmarks(
-        ms, jnp.asarray(np.arange(N) < 4), jnp.ones((N, 3), jnp.float32)
-    )
     counts = np.asarray(msl.landmark_observation_counts(ms))
     assert (counts[:4] == 2).all() and counts[4:].sum() == 0
 
-    kill = jnp.asarray(np.arange(L) == 1)
-    ms = msl.remove_landmarks(ms, kill)
+    kill = np.zeros(ms.lm_physical, bool)
+    kill[1] = True
+    ms = msl.remove_landmarks(ms, jnp.asarray(kill))
     assert int(msl.n_landmarks(ms)) == 3
     links_after = np.asarray(ms.kf_feat_lm)
     assert (links_after[:2, 1] == msl.OUTLIER).all()  # detached + outlier flag
@@ -94,8 +97,31 @@ def test_observation_counts_and_removal():
     assert counts[1] == 0
 
 
+def test_obs_counts_decrement_on_ring_eviction():
+    ms = mk()
+    ms, _ = msl.allocate_landmarks(
+        ms, jnp.asarray(np.arange(N) < 1), jnp.ones((N, 3), jnp.float32),
+        obs_init=0,
+    )
+    px, desc, valid, feat_lm, depth = dummy_frame(0)
+    links = np.full(N, msl.FREE, np.int32)
+    links[0] = 0
+    # fill the ring + 1 so slot 0 gets evicted
+    for i in range(K + 1):
+        ms, _ = msl.insert_keyframe(
+            ms, jnp.asarray(i), identity_pose(), px, desc, valid,
+            jnp.asarray(links), depth
+        )
+    # K+1 inserts, one eviction -> K live links
+    assert int(msl.landmark_observation_counts(ms)[0]) == K
+
+
 def test_remove_keyframe_slot():
     ms = mk()
+    ms, _ = msl.allocate_landmarks(
+        ms, jnp.asarray(np.arange(N) < 1), jnp.ones((N, 3), jnp.float32),
+        obs_init=0,
+    )
     px, desc, valid, feat_lm, depth = dummy_frame(0)
     links = np.full(N, msl.FREE, np.int32)
     links[0] = 0
@@ -104,9 +130,6 @@ def test_remove_keyframe_slot():
             ms, jnp.asarray(i), identity_pose(), px, desc, valid,
             jnp.asarray(links), depth
         )
-    ms, _ = msl.allocate_landmarks(
-        ms, jnp.asarray(np.arange(N) < 1), jnp.ones((N, 3), jnp.float32)
-    )
     assert np.asarray(msl.landmark_observation_counts(ms))[0] == 2
     ms = msl.remove_keyframe_slot(ms, jnp.asarray(0))
     assert int(msl.n_keyframes(ms)) == 1

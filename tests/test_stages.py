@@ -148,10 +148,11 @@ def test_cull_landmarks_kills_bad(rng):
             links[1] = msl.FREE  # landmark 1: single observation
         ms, _ = insert(ms, fid, pose, px, desc, valid, np.zeros(N),
                        jnp.asarray(links))
-    pos = np.zeros((L_CAP, 3), np.float32)
+    Lp = ms.lm_physical
+    pos = np.zeros((Lp, 3), np.float32)
     pos[:n_pts] = X
     pos[0] += 0.5  # big displacement -> err >> 5 px
-    alive = np.zeros(L_CAP, bool)
+    alive = np.zeros(Lp, bool)
     alive[:n_pts] = True
     ms = ms._replace(lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),
                      next_lm=jnp.asarray(n_pts, jnp.int32))
@@ -181,10 +182,10 @@ def test_keyframe_redundancy(rng):
         ms, _ = insert(ms, fid, identity_pose(),
                        rng.uniform(0, 600, (N, 2)), desc, valid,
                        np.zeros(N), jnp.asarray(links))
-    alive = np.zeros(L_CAP, bool)
+    alive = np.zeros(ms.lm_physical, bool)
     alive[: 2 * n_pts] = True
     ms = ms._replace(lm_alive=jnp.asarray(alive),
-                     lm_pos=jnp.ones((L_CAP, 3), jnp.float32))
+                     lm_pos=jnp.ones((ms.lm_physical, 3), jnp.float32))
     ratio, total = stages.keyframe_redundancy(ms, jnp.asarray(2))
     ratio = np.asarray(ratio)
     assert ratio[0] == 1.0 and ratio[1] == 1.0

@@ -87,6 +87,15 @@ def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
     # null-space component
     shift = 1e-7 * jnp.maximum(w[..., -1], 1e-20)
     Ms = M + shift[..., None, None] * jnp.eye(d, dtype=M.dtype)
+    if d == 4:
+        # hot path (per-correspondence triangulation): closed-form solve —
+        # batched LU on [N,4,4] schedules pathologically on TPU
+        from ..ops.linalg import solve4x4
+
+        for _ in range(2):
+            v0 = solve4x4(Ms, v0)
+            v0 = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=-1, keepdims=True), 1e-30)
+        return v0
     for _ in range(2):
         v0 = jnp.linalg.solve(Ms, v0[..., :, None])[..., :, 0]
         n = jnp.linalg.norm(v0, axis=-1, keepdims=True)
@@ -430,11 +439,14 @@ def pnp_ransac(
     Rs = jnp.where(finite_h[:, None, None], Rs, jnp.eye(3, dtype=Rs.dtype))
     ts = jnp.where(finite_h[:, None], ts, 0.0)
 
-    # calibrated GN polish of each hypothesis on its own minimal sample
-    sample_w = jnp.zeros((n_hypotheses, pts3d.shape[0]), pts3d.dtype)
-    sample_w = sample_w.at[
-        jnp.arange(n_hypotheses)[:, None], idx
-    ].set(1.0, mode="drop")
+    # calibrated GN polish of each hypothesis on its own minimal sample;
+    # one-hot built by comparison (a scatter here would serialize on TPU)
+    n_pts = pts3d.shape[0]
+    sample_w = (
+        (idx[:, None, :] == jnp.arange(n_pts, dtype=idx.dtype)[None, :, None])
+        .any(-1)
+        .astype(pts3d.dtype)
+    )  # [H, N]
     poses_h = jax.vmap(
         lambda R, t, w: _pose_gn_refine(
             cam, Pose(matrix_to_quat(R), t), pts3d, pts2d, w, iters=3

@@ -61,7 +61,7 @@ def global_ba(
     ms: MapState, cam: CameraParams, opts: GlobalBAOptions = GlobalBAOptions()
 ) -> tuple[MapState, GlobalBAStats]:
     K = ms.kf_capacity
-    L = ms.lm_capacity
+    L = ms.lm_physical
     N = ms.n_features
     C = opts.chunk
     n_chunks = -(-L // C)
@@ -139,12 +139,15 @@ def global_ba(
         # pose-landmark coupling blocks per observation: Wb = w Jpose^T Jpt
         Wobs = jnp.einsum("knij,knil,kn->knjl", Jpose, Jpt, w_opt)  # [K,N,6,3]
 
-        Hll_inv = jnp.linalg.inv(Hll)                            # [L,3,3]
+        from ..ops.linalg import inv3x3
+
+        Hll_inv = inv3x3(Hll)                                    # [L,3,3]
         Hll_inv_bl = jnp.einsum("lij,lj->li", Hll_inv, bl)       # [L,3]
-        # cholesky of the SPD inverse for whitening W
-        Ge = jnp.linalg.cholesky(
-            Hll_inv + 1e-12 * jnp.eye(3, dtype=pc.dtype)
-        )                                                        # [L,3,3]
+        # cholesky of the SPD inverse for whitening W (closed form: [L,3,3]
+        # batched LAPACK-style cholesky schedules poorly for large L)
+        from ..ops.linalg import chol3x3
+
+        Ge = chol3x3(Hll_inv + 1e-12 * jnp.eye(3, dtype=pc.dtype))
 
         kk = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
 

@@ -90,7 +90,7 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
     W = max(1, opts.window_size)
     slots, wvalid = msl.window_slots(ms, W)  # [W]
     n_kf = jnp.sum(wvalid)
-    L = ms.lm_capacity
+    L = ms.lm_physical
     N = ms.n_features
 
     # gather the window's feature tables once (slots are static-shape)
@@ -104,9 +104,18 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
     # landmark eligibility for the POINT pass (local_ba.cpp:93-104):
     # alive, observed in the window, global observation count >= min
     global_obs = msl.landmark_observation_counts(ms)
-    in_window = jnp.zeros((L,), bool).at[jnp.where(has_lm, lm_idx, L).reshape(-1)].set(
-        True, mode="drop"
-    )
+
+    # the point-pass segment reduction indices are FIXED across iterations
+    # (links don't change inside BA): sort them once so the per-iteration
+    # scatter-add runs on sorted indices — TPU scatters serialize per
+    # update, and the sorted path vectorizes
+    base_lm = jnp.where(has_lm, lm_idx, L).reshape(-1)       # [W*N]
+    seg_order = jnp.argsort(base_lm)
+    seg_idx = base_lm[seg_order]
+
+    in_window = jnp.zeros((L + 1,), bool).at[seg_idx].set(
+        True, indices_are_sorted=True, mode="drop"
+    )[:L]
     lm_eligible = ms.lm_alive & in_window & (global_obs >= opts.min_point_observations)
 
     enabled = (n_kf >= 2) & jnp.any(lm_eligible)  # local_ba.cpp:73,106
@@ -173,19 +182,28 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         Hc = jnp.einsum("wnij,wnik,wn->wnjk", Jpt, Jpt, ww2)  # [W,N,3,3]
         bc = jnp.einsum("wnij,wni,wn->wnj", Jpt, err2, ww2)   # [W,N,3]
 
-        flat_lm = jnp.where(obs2, lm_idx, L).reshape(-1)
-        Hl = jnp.zeros((L, 3, 3), pc2.dtype).at[flat_lm].add(
-            Hc.reshape(-1, 3, 3), mode="drop"
+        # ONE packed sorted scatter-add: [H(9) | b(3) | count(1)] per obs
+        contrib = jnp.concatenate(
+            [
+                Hc.reshape(-1, 9),
+                bc.reshape(-1, 3),
+                obs2.reshape(-1, 1).astype(pc2.dtype),
+            ],
+            axis=-1,
+        )[seg_order]
+        table = jnp.zeros((L + 1, 13), pc2.dtype).at[seg_idx].add(
+            contrib, indices_are_sorted=True, mode="drop"
         )
-        bl = jnp.zeros((L, 3), pc2.dtype).at[flat_lm].add(
-            bc.reshape(-1, 3), mode="drop"
-        )
-        cnt = jnp.zeros((L,), jnp.int32).at[flat_lm].add(
-            obs2.reshape(-1).astype(jnp.int32), mode="drop"
-        )
+        Hl = table[:L, :9].reshape(L, 3, 3)
+        bl = table[:L, 9:12]
+        cnt = table[:L, 12]
 
         Hl = Hl + 1e-6 * jnp.eye(3, dtype=pc2.dtype)
-        dp = jnp.linalg.solve(Hl, bl[..., None])[..., 0]  # [L,3]
+        # closed-form batched solve: LU on a [L,3,3] batch is pathologically
+        # slow on TPU for large L; the adjugate form is pure VPU math
+        from ..ops.linalg import solve3x3
+
+        dp = solve3x3(Hl, bl)  # [L,3]
         apply_pt = (
             (cnt >= opts.min_point_observations)
             & lm_eligible & ~done & enabled

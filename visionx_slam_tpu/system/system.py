@@ -62,7 +62,22 @@ class System:
         if cfg.max_frames > 0:
             entries = entries[: cfg.max_frames]
 
-        if cfg.pipeline == "scan":
+        if cfg.debug_nans:
+            # NaN-checking mode — the functional analog of the sanitizers
+            # the reference lacks (SURVEY.md §5.2)
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
+
+        if cfg.profile_dir:
+            import jax
+
+            with jax.profiler.trace(cfg.profile_dir):
+                return self._dispatch(entries)
+        return self._dispatch(entries)
+
+    def _dispatch(self, entries) -> dict:
+        if self.cfg.pipeline == "scan":
             return self._run_scan(entries)
         return self._run_host(entries)
 
@@ -123,7 +138,10 @@ class System:
             self.cam, grays, depths, cfg.tracking,
             orb_kwargs={"n_features": cfg.n_features},
         )
-        jax.block_until_ready(outs)
+        # force a host transfer: on the tunneled backend block_until_ready
+        # can return before execution completes, so a dependent scalar
+        # readback is the only honest fence
+        _ = float(jnp.sum(outs.n_inliers))
         t_scan = time.perf_counter() - t0
         self.tracker.ms = st.ms  # adopt the final map (global BA / snapshot)
 

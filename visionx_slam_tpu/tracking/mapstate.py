@@ -11,13 +11,25 @@ identity, no dynamic allocation:
 
 - keyframes live in a ring of ``K`` slots (pose, feature pixels,
   descriptors, validity, feature->landmark links);
-- landmarks live in a table of ``L`` slots with an alive mask and a
-  monotone allocation cursor ("removal" = mask clear);
+- landmarks live in a table with an alive mask and a monotone allocation
+  cursor ("removal" = mask clear);
 - the observation relation is the ``feat_lm`` table: ``feat_lm[k, i] = j``
   encodes landmark j observed by keyframe slot k at feature i — exactly
   the information the reference scatters across Landmark::observations_
   maps and Feature flags. Sentinels: FREE (-1) = no landmark,
   OUTLIER (-2) = reference's ``is_outlier`` feature flag.
+- per-landmark observation COUNTS (Landmark::ObservationCount,
+  landmark.h:44) are maintained INCREMENTALLY in ``lm_obs``: TPU scatters
+  serialize per update, so recomputing the counts as a 64k-element
+  histogram cost more than an entire tracked frame; counts only change at
+  landmark creation / landmark removal / keyframe removal, all of which
+  are cheap to account for at the point of mutation.
+
+TPU scatter-avoidance: allocation is CONTIGUOUS (slots issue sequentially
+from ``next_lm``), so new-landmark writes are a sort + one
+``dynamic_update_slice`` instead of a scatter. The landmark tables carry
+``n_features`` physical padding rows past the logical capacity so the
+update window never clamps; padding rows can never become alive.
 
 Capacity semantics vs the reference: the reference's keyframe store grows
 without bound (with culling off, its default); our ring evicts the oldest
@@ -50,9 +62,10 @@ class MapState(NamedTuple):
     kf_fvalid: jnp.ndarray   # [K,N] feature validity
     kf_feat_lm: jnp.ndarray  # [K,N] int32 landmark slot / FREE / OUTLIER
     kf_depth: jnp.ndarray    # [K,N] depth (m) sampled at the feature, 0 = none
-    # --- landmark table [L, ...] ---
-    lm_pos: jnp.ndarray      # [L,3]
-    lm_alive: jnp.ndarray    # [L] bool
+    # --- landmark table [Lp = L + N padding, ...] ---
+    lm_pos: jnp.ndarray      # [Lp,3]
+    lm_alive: jnp.ndarray    # [Lp] bool
+    lm_obs: jnp.ndarray      # [Lp] int32 incremental observation counts
     # --- cursors ---
     next_kf: jnp.ndarray     # [] int32 ring cursor (monotone; slot = next_kf % K)
     next_lm: jnp.ndarray     # [] int32 allocation cursor (monotone, drops at L)
@@ -63,18 +76,25 @@ class MapState(NamedTuple):
         return self.kf_id.shape[0]
 
     @property
-    def lm_capacity(self) -> int:
-        return self.lm_pos.shape[0]
-
-    @property
     def n_features(self) -> int:
         return self.kf_px.shape[1]
+
+    @property
+    def lm_capacity(self) -> int:
+        """LOGICAL landmark capacity (allocation limit)."""
+        return self.lm_pos.shape[0] - self.n_features
+
+    @property
+    def lm_physical(self) -> int:
+        """Physical table size (logical capacity + padding rows)."""
+        return self.lm_pos.shape[0]
 
 
 def empty_map(
     kf_capacity: int = 64, lm_capacity: int = 1 << 17, n_features: int = 1024
 ) -> MapState:
-    K, L, N = kf_capacity, lm_capacity, n_features
+    K, N = kf_capacity, n_features
+    Lp = lm_capacity + n_features
     return MapState(
         kf_q=jnp.zeros((K, 4), jnp.float32).at[:, 0].set(1.0),
         kf_t=jnp.zeros((K, 3), jnp.float32),
@@ -84,8 +104,9 @@ def empty_map(
         kf_fvalid=jnp.zeros((K, N), bool),
         kf_feat_lm=jnp.full((K, N), FREE, jnp.int32),
         kf_depth=jnp.zeros((K, N), jnp.float32),
-        lm_pos=jnp.zeros((L, 3), jnp.float32),
-        lm_alive=jnp.zeros((L,), bool),
+        lm_pos=jnp.zeros((Lp, 3), jnp.float32),
+        lm_alive=jnp.zeros((Lp,), bool),
+        lm_obs=jnp.zeros((Lp,), jnp.int32),
         next_kf=jnp.zeros((), jnp.int32),
         next_lm=jnp.zeros((), jnp.int32),
         lm_dropped=jnp.zeros((), jnp.int32),
@@ -104,6 +125,15 @@ def n_landmarks(ms: MapState) -> jnp.ndarray:
     return jnp.sum(ms.lm_alive).astype(jnp.int32)
 
 
+def _links_delta(ms: MapState, links: jnp.ndarray, active: jnp.ndarray,
+                 delta: int) -> jnp.ndarray:
+    """lm_obs +/- 1 for every valid link in ``links`` (sorted scatter of
+    <= N updates; used only on the insert/remove paths)."""
+    idx = jnp.sort(jnp.where(active & (links >= 0), links, ms.lm_physical))
+    return ms.lm_obs.at[idx].add(jnp.int32(delta), indices_are_sorted=True,
+                                 mode="drop")
+
+
 def insert_keyframe(
     ms: MapState,
     frame_id: jnp.ndarray,
@@ -116,11 +146,16 @@ def insert_keyframe(
 ) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe into the ring; returns (state, slot).
 
-    Replaces Map::InsertKeyFrame (map.cpp). Evicts the slot's previous
-    occupant implicitly (feature links of the evicted keyframe vanish with
-    the overwrite, the moral equivalent of RemoveKeyFrame on the oldest).
+    Replaces Map::InsertKeyFrame (map.cpp). Evicting a previous occupant
+    removes its observations (lm_obs decremented), the moral equivalent of
+    RemoveKeyFrame on the oldest.
     """
     slot = ms.next_kf % ms.kf_capacity
+    old_links = ms.kf_feat_lm[slot]
+    was_alive = ms.kf_id[slot] >= 0
+    lm_obs = _links_delta(ms, old_links, jnp.broadcast_to(was_alive, old_links.shape), -1)
+    ms = ms._replace(lm_obs=lm_obs)
+    lm_obs = _links_delta(ms, feat_lm, jnp.ones_like(feat_lm, bool), +1)
     return (
         ms._replace(
             kf_q=ms.kf_q.at[slot].set(pose.q),
@@ -131,6 +166,7 @@ def insert_keyframe(
             kf_fvalid=ms.kf_fvalid.at[slot].set(fvalid),
             kf_feat_lm=ms.kf_feat_lm.at[slot].set(feat_lm),
             kf_depth=ms.kf_depth.at[slot].set(depth),
+            lm_obs=lm_obs,
             next_kf=ms.next_kf + 1,
         ),
         slot,
@@ -138,33 +174,56 @@ def insert_keyframe(
 
 
 def allocate_landmarks(
-    ms: MapState, want: jnp.ndarray, pos: jnp.ndarray
+    ms: MapState, want: jnp.ndarray, pos: jnp.ndarray, obs_init: int = 1
 ) -> tuple[MapState, jnp.ndarray]:
-    """Allocate landmark slots for a batch of candidates.
+    """Allocate landmark slots for a batch of candidates — scatter-free.
 
     ``want``: [N] bool — which candidates to create; ``pos``: [N,3] world
-    positions. Returns (state, slots [N] int32 with FREE where not created
-    or dropped by capacity). This is the batched equivalent of the
-    reference's per-feature ``new Landmark(landmark_id_++, pw)`` loops
-    (tracking.cpp:640-644, :915-918).
-    """
-    offs = jnp.cumsum(want.astype(jnp.int32)) - 1  # position among created
-    slots = ms.next_lm + offs
-    in_cap = slots < ms.lm_capacity
-    ok = want & in_cap
-    slots = jnp.where(ok, slots, FREE)
+    positions; ``obs_init``: observation count each new landmark starts
+    with (1 for depth backprojection, 2 for two-view triangulation).
+    Returns (state, slots [N] int32 with FREE where not created/dropped).
 
-    # inactive rows are routed out of bounds and dropped by the scatter
-    idx = jnp.where(ok, slots, ms.lm_capacity)
-    lm_pos = ms.lm_pos.at[idx].set(pos, mode="drop")
-    lm_alive = ms.lm_alive.at[idx].set(True, mode="drop")
+    Slots issue contiguously from ``next_lm``, so the writes are one
+    stable sort (created rows first, original order — matching the slot
+    order) followed by a dynamic_update_slice into the padded table. This
+    replaces the reference's per-feature ``new Landmark(id++, pw)`` loops
+    (tracking.cpp:640-644, :915-918) without any serializing scatter.
+    """
+    N = want.shape[0]
+    L = ms.lm_capacity
+    offs = jnp.cumsum(want.astype(jnp.int32)) - 1   # rank among wanted
+    slots = ms.next_lm + offs
+    ok = want & (slots < L)
+    slots = jnp.where(ok, slots, FREE)
     n_created = jnp.sum(ok).astype(jnp.int32)
+
+    # created rows first, original order preserved (stable sort)
+    order = jnp.argsort(jnp.where(ok, 0, 1), stable=True)
+    pos_sorted = pos[order]
+
+    start = ms.next_lm  # < L <= Lp - N, so the N-row window always fits
+    iota = jnp.arange(N)
+    created_row = iota < n_created
+
+    pos_win = jax.lax.dynamic_slice(ms.lm_pos, (start, 0), (N, 3))
+    pos_win = jnp.where(created_row[:, None], pos_sorted, pos_win)
+    lm_pos = jax.lax.dynamic_update_slice(ms.lm_pos, pos_win, (start, 0))
+
+    alive_win = jax.lax.dynamic_slice(ms.lm_alive, (start,), (N,))
+    alive_win = jnp.where(created_row, True, alive_win)
+    lm_alive = jax.lax.dynamic_update_slice(ms.lm_alive, alive_win, (start,))
+
+    obs_win = jax.lax.dynamic_slice(ms.lm_obs, (start,), (N,))
+    obs_win = jnp.where(created_row, jnp.int32(obs_init), obs_win)
+    lm_obs = jax.lax.dynamic_update_slice(ms.lm_obs, obs_win, (start,))
+
     n_wanted = jnp.sum(want).astype(jnp.int32)
     return (
         ms._replace(
             lm_pos=lm_pos,
             lm_alive=lm_alive,
-            next_lm=jnp.minimum(ms.next_lm + n_wanted, ms.lm_capacity),
+            lm_obs=lm_obs,
+            next_lm=jnp.minimum(ms.next_lm + n_wanted, L),
             lm_dropped=ms.lm_dropped + (n_wanted - n_created),
         ),
         slots,
@@ -172,16 +231,9 @@ def allocate_landmarks(
 
 
 def landmark_observation_counts(ms: MapState) -> jnp.ndarray:
-    """[L] int32: number of keyframe observations per landmark.
-
-    The batched equivalent of Landmark::ObservationCount (landmark.h:44),
-    derived from the feat_lm table over alive keyframes.
-    """
-    obs = jnp.where(
-        kf_alive(ms)[:, None] & (ms.kf_feat_lm >= 0), ms.kf_feat_lm, ms.lm_capacity
-    ).reshape(-1)
-    counts = jnp.zeros((ms.lm_capacity + 1,), jnp.int32).at[obs].add(1, mode="drop")
-    return counts[: ms.lm_capacity]
+    """[Lp] int32 observation counts (incremental field; the batched
+    equivalent of Landmark::ObservationCount, landmark.h:44)."""
+    return ms.lm_obs
 
 
 def remove_landmarks(ms: MapState, kill: jnp.ndarray) -> MapState:
@@ -189,25 +241,29 @@ def remove_landmarks(ms: MapState, kill: jnp.ndarray) -> MapState:
     those features as outliers — mirroring the removal loop at
     tracking.cpp:729-747 (feat.has_landmark=false, is_outlier=true).
 
-    ``kill``: [L] bool.
+    ``kill``: [Lp] bool.
     """
     lm = ms.kf_feat_lm
-    pointed = (lm >= 0) & kill[jnp.clip(lm, 0, ms.lm_capacity - 1)]
+    pointed = (lm >= 0) & kill[jnp.clip(lm, 0, ms.lm_physical - 1)]
     new_links = jnp.where(pointed, OUTLIER, lm)
     return ms._replace(
         lm_alive=ms.lm_alive & ~kill,
+        lm_obs=jnp.where(kill, 0, ms.lm_obs),
         kf_feat_lm=new_links,
     )
 
 
 def remove_keyframe_slot(ms: MapState, slot: jnp.ndarray) -> MapState:
     """Remove one keyframe (RemoveKeyFrame, tracking.cpp:752-773): clear the
-    slot; its feature->landmark links disappear with it (observation counts
-    derive from the table, so they drop automatically)."""
+    slot and decrement the observation counts of its landmarks."""
+    links = ms.kf_feat_lm[slot]
+    was_alive = ms.kf_id[slot] >= 0
+    lm_obs = _links_delta(ms, links, jnp.broadcast_to(was_alive, links.shape), -1)
     return ms._replace(
         kf_id=ms.kf_id.at[slot].set(-1),
         kf_fvalid=ms.kf_fvalid.at[slot].set(False),
         kf_feat_lm=ms.kf_feat_lm.at[slot].set(FREE),
+        lm_obs=lm_obs,
     )
 
 

@@ -101,6 +101,7 @@ def _clear_map(ms: MapState) -> MapState:
         kf_fvalid=jnp.zeros_like(ms.kf_fvalid),
         kf_feat_lm=jnp.full_like(ms.kf_feat_lm, FREE),
         lm_alive=jnp.zeros_like(ms.lm_alive),
+        lm_obs=jnp.zeros_like(ms.lm_obs),
         next_kf=jnp.zeros_like(ms.next_kf),
         next_lm=jnp.zeros_like(ms.next_lm),
         lm_dropped=jnp.zeros_like(ms.lm_dropped),
@@ -130,8 +131,14 @@ def build_scan_step(
     kf_capacity: int = 64,
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
+    stage_limit: int = 2,
 ):
-    """Build the per-frame scan body, closed over static options."""
+    """Build the per-frame scan body, closed over static options.
+
+    ``stage_limit`` is a profiling knob: 0 = extraction only, 1 =
+    extraction + tracking (state machine and map growth disabled),
+    2 = the full pipeline.
+    """
     orb_kwargs = dict(orb_kwargs or {})
     orb_kwargs.setdefault("n_slots", n_features_cap)
     W_IMG, H_IMG = img_wh
@@ -374,6 +381,29 @@ def build_scan_step(
         gray_mean = jnp.mean(grayf)
         gray_std = jnp.std(grayf)
 
+        if stage_limit == 0:  # profiling: extraction only
+            out = FrameOut(
+                pose=se3_matrix(st.cur_pose),
+                tracked=jnp.any(fvalid),
+                state=st.tstate,
+                n_matches=jnp.sum(fvalid).astype(jnp.int32),
+                n_inliers=jnp.int32(0), parallax=jnp.float32(0),
+                is_keyframe=jnp.asarray(False),
+                n_keyframes=jnp.int32(0), n_landmarks=jnp.int32(0),
+            )
+            return st, out
+        if stage_limit == 1:  # profiling: extraction + tracking compute
+            st2, n_matches, inliers, parallax, ok = track_branch(
+                st, obs, frame_id, key
+            )
+            out = FrameOut(
+                pose=se3_matrix(st2.cur_pose), tracked=ok, state=st.tstate,
+                n_matches=n_matches, n_inliers=inliers, parallax=parallax,
+                is_keyframe=jnp.asarray(False),
+                n_keyframes=jnp.int32(0), n_landmarks=jnp.int32(0),
+            )
+            return st._replace(cur_pose=st2.cur_pose), out
+
         def do_init(st):
             return jax.lax.cond(
                 st.have_init,
@@ -484,7 +514,7 @@ def initial_state(n_features_cap=1024, kf_capacity=64, lm_capacity=1 << 17) -> S
 
 @lru_cache(maxsize=8)
 def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
-                   orb_kwargs_tuple):
+                   orb_kwargs_tuple, stage_limit=2):
     opts = TrackingOptions(**dict(opts_key))
 
     def run(cam, images_u8, depths_m):
@@ -495,6 +525,7 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             kf_capacity=kf_capacity,
             lm_capacity=lm_capacity,
             orb_kwargs=dict(orb_kwargs_tuple),
+            stage_limit=stage_limit,
         )
         st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
         frame_ids = jnp.arange(T, dtype=jnp.int32)
@@ -512,6 +543,7 @@ def run_scan_pipeline(
     kf_capacity: int = 64,
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
+    stage_limit: int = 2,
 ) -> tuple[ScanState, FrameOut]:
     """Run the whole sequence on device; returns (final state, per-frame
     outputs stacked along T)."""
@@ -519,6 +551,6 @@ def run_scan_pipeline(
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_scan(
         opts_key, (W, H), n_features_cap, kf_capacity, lm_capacity,
-        tuple(sorted((orb_kwargs or {}).items())),
+        tuple(sorted((orb_kwargs or {}).items())), stage_limit,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))

@@ -85,7 +85,7 @@ def pnp_correspondences(
     valid [N])."""
     feat_lm = ms.kf_feat_lm[kf_slot]          # [N]
     has_lm = feat_lm >= 0                      # has_landmark && !is_outlier
-    lm = jnp.clip(feat_lm, 0, ms.lm_capacity - 1)
+    lm = jnp.clip(feat_lm, 0, ms.lm_physical - 1)
     p = ms.lm_pos[lm]
     alive = ms.lm_alive[lm]
     finite = jnp.all(jnp.isfinite(p), axis=-1)
@@ -122,7 +122,7 @@ def depth_landmarks(
     want = fvalid & (feat_lm < 0) & (d >= MIN_DEPTH) & (d <= MAX_DEPTH)
     pc = backproject(cam, px, d)
     pw = se3_apply(se3_inverse(pose), pc)
-    ms2, slots = msl.allocate_landmarks(ms, want, pw)
+    ms2, slots = msl.allocate_landmarks(ms, want, pw, obs_init=1)
     new_links = jnp.where(slots >= 0, slots, feat_lm)
     return ms2._replace(kf_feat_lm=ms2.kf_feat_lm.at[kf_slot].set(new_links))
 
@@ -183,14 +183,16 @@ def triangulate_pair(
 
     want = res.valid & free & angle_ok & finite & reproj_ok
 
-    ms2, slots = msl.allocate_landmarks(ms, want, pw)
+    ms2, slots = msl.allocate_landmarks(ms, want, pw, obs_init=2)
     created = slots >= 0
 
     links_a = jnp.where(created, slots, lm_a)
     # scatter into the train side: row order is by query; only created rows
     train_rows = jnp.where(created, res.idx, ms.n_features)
-    links_b = ms.kf_feat_lm[slot_b].at[train_rows].set(
-        jnp.where(created, slots, 0), mode="drop"
+    row_order = jnp.argsort(train_rows)  # sorted scatter (TPU)
+    links_b = ms.kf_feat_lm[slot_b].at[train_rows[row_order]].set(
+        jnp.where(created, slots, 0)[row_order],
+        indices_are_sorted=True, mode="drop",
     )
     kf_feat_lm = ms2.kf_feat_lm.at[slot_a].set(links_a)
     kf_feat_lm = kf_feat_lm.at[slot_b].set(links_b)
@@ -212,7 +214,7 @@ def cull_landmarks(
     observations, zero measurable reprojections, any error > 2*threshold,
     or mean error > threshold. Returns (state, n_culled). The
     min_landmarks_for_culling gate is applied by the caller."""
-    L = ms.lm_capacity
+    L = ms.lm_physical
     alive_kf = msl.kf_alive(ms)
     has = alive_kf[:, None] & ms.kf_fvalid & (ms.kf_feat_lm >= 0)
     lm = jnp.clip(ms.kf_feat_lm, 0, L - 1)
@@ -222,13 +224,21 @@ def cull_landmarks(
     err = jnp.linalg.norm(uv - ms.kf_px, axis=-1)
     measurable = has & ok                                 # ProjectToPixel fail -> skip
 
+    # sorted packed segment reduction (unsorted TPU scatters serialize)
     flat = jnp.where(measurable, lm, L).reshape(-1)
-    err_flat = jnp.where(measurable, err, 0.0).reshape(-1)
-    err_sum = jnp.zeros((L,), jnp.float32).at[flat].add(err_flat, mode="drop")
-    cnt = jnp.zeros((L,), jnp.int32).at[flat].add(
-        measurable.reshape(-1).astype(jnp.int32), mode="drop"
+    order = jnp.argsort(flat)
+    sidx = flat[order]
+    err_flat = jnp.where(measurable, err, 0.0).reshape(-1)[order]
+    m_flat = measurable.reshape(-1).astype(jnp.float32)[order]
+    packed = jnp.stack([err_flat, m_flat], axis=-1)
+    table = jnp.zeros((L + 1, 2), jnp.float32).at[sidx].add(
+        packed, indices_are_sorted=True, mode="drop"
     )
-    err_max = jnp.zeros((L,), jnp.float32).at[flat].max(err_flat, mode="drop")
+    err_sum = table[:L, 0]
+    cnt = table[:L, 1]
+    err_max = jnp.zeros((L + 1,), jnp.float32).at[sidx].max(
+        err_flat, indices_are_sorted=True, mode="drop"
+    )[:L]
 
     obs_count = msl.landmark_observation_counts(ms)
     mean_err = err_sum / jnp.maximum(cnt, 1)
@@ -297,7 +307,7 @@ def keyframe_redundancy(
     observed by >= min_shared keyframes. Returns (ratio [K], total [K])."""
     obs_count = msl.landmark_observation_counts(ms)
     has = msl.kf_alive(ms)[:, None] & ms.kf_fvalid & (ms.kf_feat_lm >= 0)
-    lm = jnp.clip(ms.kf_feat_lm, 0, ms.lm_capacity - 1)
+    lm = jnp.clip(ms.kf_feat_lm, 0, ms.lm_physical - 1)
     alive_lm = ms.lm_alive[lm]
     total = jnp.sum(has, axis=1)
     redundant = jnp.sum(has & alive_lm & (obs_count[lm] >= min_shared), axis=1)

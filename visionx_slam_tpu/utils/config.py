@@ -106,6 +106,10 @@ class SystemConfig:
     # "scan": whole sequence fused into one on-device lax.scan (fast path);
     # "host": per-frame host state machine (reference-parity/debug path)
     pipeline: str = "host"
+    # observability (SURVEY.md §5.1/§5.2): jax.profiler trace directory and
+    # the functional analog of a race/NaN sanitizer
+    profile_dir: str = ""
+    debug_nans: bool = False
     n_features: int = 1000              # reference: orb_extractor.h:11
     metrics_jsonl: bool = True          # per-frame structured metrics
 
