@@ -386,13 +386,18 @@ def _pose_gn_refine(
             ],
             -2,
         )
-        Jse = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (*pc.shape[:-1], 3, 3)),
-             -so3_hat(pc)], -1
-        )  # [N,3,6]
-        J = Jp @ Jse  # [N,2,6]
-        H = jnp.einsum("nij,nik,n->jk", J, J, ww) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
-        b = jnp.einsum("nij,ni,n->j", J, err, ww)
+        # full pose Jacobian [N,2,6]: rotational block row_i = pc x Jp_i
+        # (identical to Jp @ [I | -hat(pc)] without materializing the
+        # [N,3,6] tangent matrix — those tiny matmuls lower to slow VPU
+        # loop fusions on TPU)
+        J = jnp.concatenate([Jp, jnp.cross(pc[..., None, :], Jp)], -1)
+        # flattened normal equations: ONE [6,2N]x[2N,6] contraction (MXU)
+        Jf = J.reshape(-1, 6)                       # [2N,6]
+        wf = jnp.repeat(ww, 2, axis=-1)             # weight per residual row
+        rf = err.reshape(-1)
+        Jw = Jf * wf[:, None]
+        H = Jw.T @ Jf + 1e-6 * jnp.eye(6, dtype=pc.dtype)
+        b = Jw.T @ rf
         dx = jnp.linalg.solve(H, b)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         return se3_compose(se3_exp(dx), pose), None
@@ -439,14 +444,25 @@ def pnp_ransac(
     Rs = jnp.where(finite_h[:, None, None], Rs, jnp.eye(3, dtype=Rs.dtype))
     ts = jnp.where(finite_h[:, None], ts, 0.0)
 
-    # calibrated GN polish of each hypothesis on its own minimal sample;
-    # one-hot built by comparison (a scatter here would serialize on TPU)
+    # pre-score the raw DLT hypotheses and keep the best few: the GN polish
+    # is the expensive stage, and only competitive hypotheses can win the
+    # final consensus anyway
+    n_polish = min(16, n_hypotheses)
+    raw_errs = jax.vmap(lambda R, t: _reproj_err_px(cam, R, t, pts3d, pts2d))(Rs, ts)
+    raw_counts = jnp.sum((raw_errs < 4.0 * reproj_thresh) & valid[None, :], axis=1)
+    _, keep = jax.lax.top_k(raw_counts, n_polish)
+    Rs = Rs[keep]
+    ts = ts[keep]
+    idx = idx[keep]
+
+    # calibrated GN polish of each kept hypothesis on its own minimal
+    # sample; one-hot built by comparison (a scatter would serialize)
     n_pts = pts3d.shape[0]
     sample_w = (
         (idx[:, None, :] == jnp.arange(n_pts, dtype=idx.dtype)[None, :, None])
         .any(-1)
         .astype(pts3d.dtype)
-    )  # [H, N]
+    )  # [n_polish, N]
     poses_h = jax.vmap(
         lambda R, t, w: _pose_gn_refine(
             cam, Pose(matrix_to_quat(R), t), pts3d, pts2d, w, iters=3

@@ -154,11 +154,15 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         total_obs = jnp.sum(obs).astype(jnp.int32)
 
         Jp = _proj_jacobian(cam, pc)                 # [W,N,2,3]
-        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (W, N, 3, 3))
-        Jse = jnp.concatenate([eye3, -so3_hat(pc)], -1)   # [W,N,3,6]
-        J = Jp @ Jse                                  # [W,N,2,6]
-        H = jnp.einsum("wnij,wnik,wn->wjk", J, J, ww) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
-        b = jnp.einsum("wnij,wni,wn->wj", J, err, ww)
+        # rotational block row_i = pc x Jp_i (== Jp @ [I | -hat(pc)] without
+        # materializing [W,N,3,6] and its tiny matmuls)
+        J = jnp.concatenate([Jp, jnp.cross(pc[..., None, :], Jp)], -1)
+        Jf = J.reshape(W, N * 2, 6)
+        wf = jnp.repeat(ww, 2, axis=-1)               # [W,2N]
+        rf = err.reshape(W, -1)
+        Jw = Jf * wf[..., None]
+        H = jnp.einsum("wni,wnj->wij", Jw, Jf) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
+        b = jnp.einsum("wni,wn->wi", Jw, rf)
         dx = jnp.linalg.solve(H, b[..., None])[..., 0]  # [W,6]
 
         pose_obs = jnp.sum(obs, axis=1)

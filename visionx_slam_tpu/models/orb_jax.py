@@ -164,11 +164,14 @@ def _level_quotas(n_features: int, n_levels: int, scale: float) -> list[int]:
     return quotas
 
 
+PATCH_R = 18  # covers the rotated BRIEF radius (13*sqrt2 ~ 18.4 rounds to <=18)
+PATCH_S = 2 * PATCH_R + 1
+
+
 def _orientation(patches: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle from [K, 31, 31] patches (IC-angle,
-    reference inventory §2.3: intensity-centroid orientation)."""
-    size = 2 * HALF_PATCH + 1
-    ys, xs = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
+    """Intensity-centroid angle from [K, PATCH_S, PATCH_S] patches over the
+    radius-15 disc (IC-angle, reference inventory §2.3)."""
+    ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
     disc = (xs**2 + ys**2 <= HALF_PATCH**2).astype(np.float32)
     wx = jnp.asarray((xs * disc).astype(np.float32))
     wy = jnp.asarray((ys * disc).astype(np.float32))
@@ -202,31 +205,35 @@ def _extract_level(
     xx = (idx % W).astype(jnp.int32)
     valid = jnp.isfinite(top)
 
-    # ---- orientation from raw patches ----
-    padded = jnp.pad(img, PAD, mode="edge")
+    # ---- one patch extraction feeds both orientation and BRIEF ----
+    # full-image fancy gathers serialize on TPU; per-keypoint patches via
+    # vmapped dynamic_slice + within-patch take_along_axis stay vectorized
+    blurred = _sep_conv(img, _gaussian_kernel1d())
+    stacked = jnp.stack([img, blurred])  # [2,H,W] (raw for IC, blurred for BRIEF)
+    spad = jnp.pad(stacked, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
 
     def patch(y, x):
         return jax.lax.dynamic_slice(
-            padded, (y + PAD - HALF_PATCH, x + PAD - HALF_PATCH),
-            (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1),
+            spad, (0, y + PAD - PATCH_R, x + PAD - PATCH_R),
+            (2, PATCH_S, PATCH_S),
         )
 
-    patches = jax.vmap(patch)(yy, xx)
-    angles = _orientation(patches)
+    patches = jax.vmap(patch)(yy, xx)          # [q,2,S,S]
+    angles = _orientation(patches[:, 0])
 
-    # ---- steered BRIEF on the blurred image ----
-    blurred = _sep_conv(img, _gaussian_kernel1d())
-    bpad = jnp.pad(blurred, PAD, mode="edge")
+    # ---- steered BRIEF sampled inside the patch ----
     pat = jnp.asarray(_PATTERN.astype(np.float32))  # [256,2,2] (y,x)
-
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # [q]
-    # rotate pattern offsets: [q, 256, 2 points, 2 coords]
     py, px_ = pat[..., 0], pat[..., 1]  # [256,2]
     ry = jnp.round(px_[None] * sa[:, None, None] + py[None] * ca[:, None, None])
     rx = jnp.round(px_[None] * ca[:, None, None] - py[None] * sa[:, None, None])
-    sy = (yy[:, None, None] + ry.astype(jnp.int32)) + PAD
-    sx = (xx[:, None, None] + rx.astype(jnp.int32)) + PAD
-    vals = bpad[sy, sx]  # [q,256,2] advanced-index gather
+    lin = (
+        (ry.astype(jnp.int32) + PATCH_R) * PATCH_S
+        + (rx.astype(jnp.int32) + PATCH_R)
+    )  # [q,256,2] indices into the flattened patch
+    q = lin.shape[0]
+    flat = patches[:, 1].reshape(q, PATCH_S * PATCH_S)
+    vals = jnp.take_along_axis(flat, lin.reshape(q, -1), axis=1).reshape(q, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [q,256]
     weights = jnp.asarray((2 ** np.arange(8)).astype(np.uint8))
     desc = jnp.sum(

@@ -327,7 +327,8 @@ def build_scan_step(
         """CreateKeyFrame + culling + local BA (tracking.cpp:76-85, 577-584)."""
         ms = st.ms
         prev_slot = jnp.maximum(st.last_kf_slot, 0)
-        ms, slot = msl.insert_keyframe(
+        with jax.named_scope("kf_insert"):
+            ms, slot = msl.insert_keyframe(
             ms, frame_id.astype(jnp.int32), st.cur_pose,
             obs.px, obs.desc, obs.valid,
             jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
@@ -374,7 +375,8 @@ def build_scan_step(
         frame_id, gray, depth_img = inp
         key = jax.random.fold_in(jax.random.PRNGKey(17), frame_id)
 
-        px, resp, desc, fvalid = orb_extract(gray, **orb_kwargs)
+        with jax.named_scope("orb_extract"):
+            px, resp, desc, fvalid = orb_extract(gray, **orb_kwargs)
         dfeat = _sample_depth(depth_img, px, fvalid)
         obs = FrameObs(px, resp, desc, fvalid, dfeat)
         grayf = gray.astype(jnp.float32)
@@ -443,9 +445,10 @@ def build_scan_step(
 
         branch = jnp.where(was_state == INIT, 0,
                            jnp.where(was_state == GOOD, 1, 2))
-        st2, n_matches, inliers, parallax, step_ok = jax.lax.switch(
-            branch, [do_init, do_good, do_reset], st
-        )
+        with jax.named_scope("state_dispatch"):
+            st2, n_matches, inliers, parallax, step_ok = jax.lax.switch(
+                branch, [do_init, do_good, do_reset], st
+            )
 
         just_initialized = was_init_second & step_ok
         tracked_now = ((was_state == GOOD) & step_ok) | just_initialized
@@ -459,10 +462,11 @@ def build_scan_step(
             & ((frame_id.astype(jnp.int32) - st2.last_kf_id)
                >= opts.min_keyframe_gap)
         )
-        st3 = jax.lax.cond(
-            need_kf, lambda s: create_keyframe(s, obs, frame_id), lambda s: s,
-            st2,
-        )
+        with jax.named_scope("keyframe_event"):
+            st3 = jax.lax.cond(
+                need_kf, lambda s: create_keyframe(s, obs, frame_id), lambda s: s,
+                st2,
+            )
 
         # ---------------- post-frame state update (tracking.cpp:87-88) ----
         new_tstate = jnp.where(
