@@ -28,8 +28,13 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=0)
     p.add_argument("--extractor", default="jax", choices=["jax", "opencv"])
     p.add_argument("--pipeline", default="scan", choices=["scan", "host"])
+    p.add_argument("--batch", type=int, default=0,
+                   help="batched throughput mode: B sequences in parallel on one chip")
     p.add_argument("--warmup", type=int, default=12)
     args = p.parse_args(argv)
+
+    if args.batch:
+        return bench_batched(args)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
@@ -87,6 +92,78 @@ def main(argv=None) -> int:
             "pipeline": args.pipeline,
             "end_to_end_fps": round(summary["n_frames"] / wall, 2),
             "decode_time_s": summary.get("decode_time_s"),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def bench_batched(args) -> int:
+    """Batched throughput mode (BASELINE config 5 on one chip): B synthetic
+    sequences tracked in parallel by the vmapped scan pipeline; the metric
+    is aggregate frames/sec/chip."""
+    import time as _time
+
+    import numpy as np
+
+    from visionx_slam_tpu.data import synthetic, tum
+    from visionx_slam_tpu.eval import trajectory as traj
+    from visionx_slam_tpu.ops.camera import make_camera
+    from visionx_slam_tpu.tracking.scan_pipeline import run_scan_pipeline_batched
+    from visionx_slam_tpu.utils.config import TrackingOptions
+
+    import jax
+    import jax.numpy as jnp
+
+    B = args.batch
+    T = args.frames or (20 if args.quick else 120)
+    grays, depths, gts = [], [], []
+    seq = "rgbd_dataset_freiburg3_synthetic"
+    for b in range(B):
+        root = os.path.join(tempfile.gettempdir(), f"vxs_benchb_{T}_{b}")
+        if not os.path.isdir(os.path.join(root, seq)):
+            synthetic.generate_sequence(root, sequence=seq, n_frames=T, seed=100 + b)
+        ds = tum.TumDataset(root, seq)
+        ds.load()
+        grays.append(np.stack([tum.load_rgb_gray(e.rgb_path) for e in ds.entries]))
+        depths.append(np.stack([tum.load_depth_m(e.depth_path) for e in ds.entries]))
+        gts.append(np.stack([e.gt_t for e in ds.entries]))
+    grays = np.stack(grays)
+    depths = np.stack(depths)
+    cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX, synthetic.CY)
+
+    opts = TrackingOptions()
+    st, outs = run_scan_pipeline_batched(cam, grays, depths, opts)
+    _ = float(jnp.sum(outs.n_inliers))
+    best = 1e9
+    for i in range(2):
+        g2 = grays.copy()
+        g2[:, 0, 0, 0] = i + 1
+        t0 = _time.perf_counter()
+        st, outs = run_scan_pipeline_batched(cam, g2, depths, opts)
+        _ = float(jnp.sum(outs.n_inliers))
+        best = min(best, _time.perf_counter() - t0)
+
+    tracked = np.asarray(outs.tracked)  # [T,B]
+    poses = np.asarray(outs.pose)       # [T,B,4,4]
+    ates = []
+    for b in range(B):
+        sel = tracked[:, b]
+        if sel.sum() >= 3:
+            est = np.asarray([traj.tcw_to_twc(poses[t, b])[:3, 3]
+                              for t in range(T) if sel[t]])
+            ates.append(traj.ate_rmse(est, gts[b][sel]))
+    fps = B * T / best
+    result = {
+        "metric": "aggregate frames/sec/chip, batched multi-sequence SLAM (640x480 RGB-D)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 4),
+        "detail": {
+            "batch": B, "frames_per_seq": T,
+            "per_stream_fps": round(fps / B, 2),
+            "tracked_frac": float(tracked.mean()),
+            "ate_rmse_m_mean": float(np.mean(ates)) if ates else None,
         },
     }
     print(json.dumps(result))

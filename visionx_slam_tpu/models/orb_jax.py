@@ -166,6 +166,32 @@ def _level_quotas(n_features: int, n_levels: int, scale: float) -> list[int]:
 
 PATCH_R = 18  # covers the rotated BRIEF radius (13*sqrt2 ~ 18.4 rounds to <=18)
 PATCH_S = 2 * PATCH_R + 1
+N_ANGLE_BINS = 32  # steered-BRIEF angle discretization (ORB's classic 12-degree
+                   # lookup used 30; 32 keeps the same character and a pow-2 size)
+
+
+def _brief_diff_matrices() -> np.ndarray:
+    """[N_ANGLE_BINS, 256, PATCH_S*PATCH_S] sampling-difference matrices.
+
+    Row (a, s) holds +1 at the rotated position of pattern point 2 and -1
+    at point 1 for angle bin a, so ``patch_flat @ D[a].T`` yields
+    ``I(p2) - I(p1)`` for every descriptor bit in ONE matmul — the MXU
+    replacement for per-keypoint gathers (which serialize on TPU).
+    """
+    D = np.zeros((N_ANGLE_BINS, 256, PATCH_S * PATCH_S), np.float32)
+    for a in range(N_ANGLE_BINS):
+        ang = 2.0 * np.pi * a / N_ANGLE_BINS
+        ca, sa = np.cos(ang), np.sin(ang)
+        for s in range(256):
+            for which, sign in ((0, -1.0), (1, +1.0)):
+                pyy, pxx = _PATTERN[s, which]
+                ry = int(round(pxx * sa + pyy * ca))
+                rx = int(round(pxx * ca - pyy * sa))
+                D[a, s, (ry + PATCH_R) * PATCH_S + (rx + PATCH_R)] += sign
+    return D
+
+
+_BRIEF_D = _brief_diff_matrices()
 
 
 def _orientation(patches: jnp.ndarray) -> jnp.ndarray:
@@ -206,22 +232,21 @@ def _extract_level(
     valid = jnp.isfinite(top)
 
     # ---- one patch extraction feeds both orientation and BRIEF ----
-    # full-image fancy gathers serialize on TPU; per-keypoint patches via
-    # vmapped dynamic_slice + within-patch take_along_axis stay vectorized
+    # (full-image fancy gathers serialize on TPU; one windowed gather per
+    # keypoint from the blurred image feeds everything downstream)
     blurred = _sep_conv(img, _gaussian_kernel1d())
-    stacked = jnp.stack([img, blurred])  # [2,H,W] (raw for IC, blurred for BRIEF)
-    spad = jnp.pad(stacked, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="edge")
+    spad = jnp.pad(blurred, PAD, mode="edge")
 
     def patch(y, x):
         return jax.lax.dynamic_slice(
-            spad, (0, y + PAD - PATCH_R, x + PAD - PATCH_R),
-            (2, PATCH_S, PATCH_S),
+            spad, (y + PAD - PATCH_R, x + PAD - PATCH_R), (PATCH_S, PATCH_S)
         )
 
-    patches = jax.vmap(patch)(yy, xx)          # [q,2,S,S]
-    angles = _orientation(patches[:, 0])
+    patches = jax.vmap(patch)(yy, xx)          # [q,S,S]
+    angles = _orientation(patches)
 
-    # ---- steered BRIEF sampled inside the patch ----
+    # ---- steered BRIEF sampled inside the patch (take_along_axis keeps the
+    # gather batched per keypoint; the full-image fancy gather serialized) ----
     pat = jnp.asarray(_PATTERN.astype(np.float32))  # [256,2,2] (y,x)
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # [q]
     py, px_ = pat[..., 0], pat[..., 1]  # [256,2]
@@ -232,7 +257,7 @@ def _extract_level(
         + (rx.astype(jnp.int32) + PATCH_R)
     )  # [q,256,2] indices into the flattened patch
     q = lin.shape[0]
-    flat = patches[:, 1].reshape(q, PATCH_S * PATCH_S)
+    flat = patches.reshape(q, PATCH_S * PATCH_S)
     vals = jnp.take_along_axis(flat, lin.reshape(q, -1), axis=1).reshape(q, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [q,256]
     weights = jnp.asarray((2 ** np.arange(8)).astype(np.uint8))

@@ -518,11 +518,32 @@ def initial_state(n_features_cap=1024, kf_capacity=64, lm_capacity=1 << 17) -> S
 
 @lru_cache(maxsize=8)
 def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
-                   orb_kwargs_tuple, stage_limit=2):
+                   orb_kwargs_tuple, stage_limit=2, batched=False):
     opts = TrackingOptions(**dict(opts_key))
 
-    def run(cam, images_u8, depths_m):
-        T = images_u8.shape[0]
+    if not batched:
+        def run(cam, images_u8, depths_m):
+            T = images_u8.shape[0]
+            step = build_scan_step(
+                cam, opts, img_wh,
+                n_features_cap=n_features_cap,
+                kf_capacity=kf_capacity,
+                lm_capacity=lm_capacity,
+                orb_kwargs=dict(orb_kwargs_tuple),
+                stage_limit=stage_limit,
+            )
+            st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
+            frame_ids = jnp.arange(T, dtype=jnp.int32)
+            return jax.lax.scan(step, st0, (frame_ids, images_u8, depths_m))
+
+        return jax.jit(run)
+
+    def run_batched(cam, images_u8, depths_m):
+        """Batched throughput mode (BASELINE config 5 on ONE chip): vmap the
+        scan body over B independent sequences. Under vmap the keyframe
+        conds become selects (all lanes pay the branch), but B-wide
+        vectorization amortizes every op — the classic TPU batching trade."""
+        B, T = images_u8.shape[:2]
         step = build_scan_step(
             cam, opts, img_wh,
             n_features_cap=n_features_cap,
@@ -531,11 +552,16 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             orb_kwargs=dict(orb_kwargs_tuple),
             stage_limit=stage_limit,
         )
+        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0)))
         st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
+        st0b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), st0)
         frame_ids = jnp.arange(T, dtype=jnp.int32)
-        return jax.lax.scan(step, st0, (frame_ids, images_u8, depths_m))
+        return jax.lax.scan(
+            vstep, st0b,
+            (frame_ids, images_u8.swapaxes(0, 1), depths_m.swapaxes(0, 1)),
+        )
 
-    return jax.jit(run)
+    return jax.jit(run_batched)
 
 
 def run_scan_pipeline(
@@ -556,5 +582,27 @@ def run_scan_pipeline(
     fn = _compiled_scan(
         opts_key, (W, H), n_features_cap, kf_capacity, lm_capacity,
         tuple(sorted((orb_kwargs or {}).items())), stage_limit,
+    )
+    return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
+
+
+def run_scan_pipeline_batched(
+    cam: CameraParams,
+    images_u8,            # [B,T,H,W] uint8
+    depths_m,             # [B,T,H,W] float32
+    opts: TrackingOptions,
+    n_features_cap: int = 1024,
+    kf_capacity: int = 64,
+    lm_capacity: int = 1 << 17,
+    orb_kwargs: dict | None = None,
+) -> tuple[ScanState, FrameOut]:
+    """Batched multi-sequence SLAM on one chip; leading axis = sequences.
+
+    Returns (final states stacked over B, per-frame outputs [T, B, ...])."""
+    B, T, H, W = images_u8.shape
+    opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
+    fn = _compiled_scan(
+        opts_key, (W, H), n_features_cap, kf_capacity, lm_capacity,
+        tuple(sorted((orb_kwargs or {}).items())), 2, True,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
