@@ -49,18 +49,18 @@ def build_map(rng, n_kf=7, n_lm=120, px_noise=0.25, pose_err=0.004, point_err=0.
             jnp.zeros((N, 32), jnp.uint8), jnp.asarray(valid),
             jnp.asarray(links), jnp.zeros(N, jnp.float32),
         )
-    Lp = ms.lm_pos.shape[0]
+    Lp = ms.lm_physical
     pos = np.zeros((Lp, 3), np.float32)
     pos[:n_lm] = X_gt + rng.normal(scale=point_err, size=X_gt.shape)
     alive = np.zeros(Lp, bool)
     alive[:n_lm] = True
-    ms = ms._replace(lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),
+    ms = ms._replace(lm_pos=jnp.asarray(pos.T), lm_alive=jnp.asarray(alive),
                      next_lm=jnp.asarray(n_lm, jnp.int32))
     return ms, X_gt
 
 
 def mean_reproj(ms):
-    pos = np.asarray(ms.lm_pos)
+    pos = np.asarray(ms.lm_pos).T
     tot, cnt = 0.0, 0
     for k in range(K_CAP):
         if int(np.asarray(ms.kf_id[k])) < 0:

@@ -58,13 +58,13 @@ def build_window(rng, n_kf=5, n_lm=100, px_noise=0.3, pose_err=0.004, point_err=
         )
 
     X_init = X_gt + rng.normal(scale=point_err, size=X_gt.shape)
-    Lp = ms.lm_pos.shape[0]  # physical size (logical capacity + padding)
+    Lp = ms.lm_physical  # physical size (logical capacity + padding)
     pos = np.zeros((Lp, 3), np.float32)
     pos[:n_lm] = X_init
     alive = np.zeros(Lp, bool)
     alive[:n_lm] = True
     ms = ms._replace(
-        lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),
+        lm_pos=jnp.asarray(pos.T), lm_alive=jnp.asarray(alive),
         next_lm=jnp.asarray(n_lm, jnp.int32),
     )
     return ms, X_gt, poses_gt
@@ -72,7 +72,7 @@ def build_window(rng, n_kf=5, n_lm=100, px_noise=0.3, pose_err=0.004, point_err=
 
 def mean_reproj_err(ms, X=None):
     """Mean reprojection error over all (kf, feature) observations."""
-    pos = np.asarray(ms.lm_pos)
+    pos = np.asarray(ms.lm_pos).T
     err_total, cnt = 0.0, 0
     for k in range(K_CAP):
         if int(np.asarray(ms.kf_id[k])) < 0:
@@ -124,9 +124,9 @@ def test_ba_ignores_outlier_links(rng):
     ms, _, _ = build_window(rng)
     # corrupt one landmark grossly; with the 5 px gate its residual is
     # excluded, so BA must not drag it back
-    pos = np.array(ms.lm_pos)
-    pos[0] += 5.0
+    pos = np.array(ms.lm_pos)  # [3,Lp]
+    pos[:, 0] += 5.0
     ms = ms._replace(lm_pos=jnp.asarray(pos))
     ms2, _ = local_ba(ms, CAM, BAOptions())
-    moved = np.linalg.norm(np.asarray(ms2.lm_pos[0]) - pos[0])
+    moved = np.linalg.norm(np.asarray(ms2.lm_pos[:, 0]) - pos[:, 0])
     assert moved < 1e-5

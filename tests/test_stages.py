@@ -62,7 +62,7 @@ def test_depth_landmarks_semantics(rng):
 
     pw = np.asarray(se3_apply(se3_inverse(pose), jnp.asarray(pc)))
     np.testing.assert_allclose(
-        np.asarray(ms.lm_pos[out_links[i]]), pw, atol=1e-5
+        np.asarray(ms.lm_pos[:, out_links[i]]), pw, atol=1e-5
     )
 
 
@@ -100,7 +100,7 @@ def test_triangulate_pair_creates_consistent_landmarks(rng):
     np.testing.assert_array_equal(
         links_a[:n_pts][created], links_b[:n_pts][created]
     )
-    pos = np.asarray(ms.lm_pos)[links_a[:n_pts][created]]
+    pos = np.asarray(ms.lm_pos).T[links_a[:n_pts][created]]
     np.testing.assert_allclose(pos, X[created], atol=2e-2)
 
 
@@ -154,7 +154,7 @@ def test_cull_landmarks_kills_bad(rng):
     pos[0] += 0.5  # big displacement -> err >> 5 px
     alive = np.zeros(Lp, bool)
     alive[:n_pts] = True
-    ms = ms._replace(lm_pos=jnp.asarray(pos), lm_alive=jnp.asarray(alive),
+    ms = ms._replace(lm_pos=jnp.asarray(pos.T), lm_alive=jnp.asarray(alive),
                      next_lm=jnp.asarray(n_pts, jnp.int32))
 
     ms2, n_culled = stages.cull_landmarks(ms, CAM, 5.0, 2)
@@ -185,7 +185,7 @@ def test_keyframe_redundancy(rng):
     alive = np.zeros(ms.lm_physical, bool)
     alive[: 2 * n_pts] = True
     ms = ms._replace(lm_alive=jnp.asarray(alive),
-                     lm_pos=jnp.ones((ms.lm_physical, 3), jnp.float32))
+                     lm_pos=jnp.ones((3, ms.lm_physical), jnp.float32))
     ratio, total = stages.keyframe_redundancy(ms, jnp.asarray(2))
     ratio = np.asarray(ratio)
     assert ratio[0] == 1.0 and ratio[1] == 1.0

@@ -88,7 +88,7 @@ def global_ba(
     enabled = (jnp.sum(alive_kf) >= 2) & jnp.any(ms.lm_alive)
 
     def residuals(q, t, lm_pos):
-        pw = lm_pos[lm_idx]                        # [K,N,3]
+        pw = jnp.moveaxis(lm_pos[:, lm_idx], 0, -1)  # [K,N,3]
         R = quat_to_matrix(q)
         pc = jnp.einsum("kij,knj->kni", R, pw) + t[:, None, :]
         z_ok = pc[..., 2] > 1e-6
@@ -209,7 +209,7 @@ def global_ba(
         apply = ~done & enabled
         dxp_k = jnp.where((free_kf & apply)[:, None], dxp_k, 0.0)
         newp = se3_compose(se3_exp(dxp_k), Pose(q, t))
-        lm_new = jnp.where(apply, lm_pos + dxl, lm_pos)
+        lm_new = jnp.where(apply, lm_pos + dxl.T, lm_pos)
 
         converged = (total_obs == 0) | (jnp.abs(last_cost - cost) < 1e-6 * last_cost)
         iters = iters + jnp.where(done | ~enabled, 0, 1)

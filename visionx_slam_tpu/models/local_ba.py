@@ -122,14 +122,14 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
 
     q0 = ms.kf_q[slots]
     t0 = ms.kf_t[slots]
-    pos0 = ms.lm_pos
+    pos0 = ms.lm_pos  # [3,Lp] coordinate-major
 
     def residuals(q, t, lm_pos):
         """Per-observation projection residuals for the whole window.
 
         Returns err [W,N,2], pc [W,N,3], obs mask [W,N] after the
         validity + reprojection gates, and huber weights [W,N]."""
-        pw = lm_pos[lm_idx]                          # [W,N,3]
+        pw = jnp.moveaxis(lm_pos[:, lm_idx], 0, -1)  # [W,N,3]
         R = quat_to_matrix(q)                        # [W,3,3]
         pc = jnp.einsum("wij,wnj->wni", R, pw) + t[:, None, :]
         z_ok = pc[..., 2] > 1e-6
@@ -213,7 +213,7 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
             & lm_eligible & ~done & enabled
             & jnp.all(jnp.isfinite(dp), axis=-1)
         )
-        lm_pos2 = jnp.where(apply_pt[:, None], lm_pos + dp, lm_pos)
+        lm_pos2 = jnp.where(apply_pt[None, :], lm_pos + dp.T, lm_pos)
 
         # ============ convergence (local_ba.cpp:240-247) ===================
         converged = (total_obs == 0) | (

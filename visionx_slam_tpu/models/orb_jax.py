@@ -166,32 +166,6 @@ def _level_quotas(n_features: int, n_levels: int, scale: float) -> list[int]:
 
 PATCH_R = 18  # covers the rotated BRIEF radius (13*sqrt2 ~ 18.4 rounds to <=18)
 PATCH_S = 2 * PATCH_R + 1
-N_ANGLE_BINS = 32  # steered-BRIEF angle discretization (ORB's classic 12-degree
-                   # lookup used 30; 32 keeps the same character and a pow-2 size)
-
-
-def _brief_diff_matrices() -> np.ndarray:
-    """[N_ANGLE_BINS, 256, PATCH_S*PATCH_S] sampling-difference matrices.
-
-    Row (a, s) holds +1 at the rotated position of pattern point 2 and -1
-    at point 1 for angle bin a, so ``patch_flat @ D[a].T`` yields
-    ``I(p2) - I(p1)`` for every descriptor bit in ONE matmul — the MXU
-    replacement for per-keypoint gathers (which serialize on TPU).
-    """
-    D = np.zeros((N_ANGLE_BINS, 256, PATCH_S * PATCH_S), np.float32)
-    for a in range(N_ANGLE_BINS):
-        ang = 2.0 * np.pi * a / N_ANGLE_BINS
-        ca, sa = np.cos(ang), np.sin(ang)
-        for s in range(256):
-            for which, sign in ((0, -1.0), (1, +1.0)):
-                pyy, pxx = _PATTERN[s, which]
-                ry = int(round(pxx * sa + pyy * ca))
-                rx = int(round(pxx * ca - pyy * sa))
-                D[a, s, (ry + PATCH_R) * PATCH_S + (rx + PATCH_R)] += sign
-    return D
-
-
-_BRIEF_D = _brief_diff_matrices()
 
 
 def _orientation(patches: jnp.ndarray) -> jnp.ndarray:

@@ -63,7 +63,8 @@ class MapState(NamedTuple):
     kf_feat_lm: jnp.ndarray  # [K,N] int32 landmark slot / FREE / OUTLIER
     kf_depth: jnp.ndarray    # [K,N] depth (m) sampled at the feature, 0 = none
     # --- landmark table [Lp = L + N padding, ...] ---
-    lm_pos: jnp.ndarray      # [Lp,3]
+    lm_pos: jnp.ndarray      # [3,Lp] (coordinate-major: a [Lp,3] layout pads
+                             # the trailing dim to 128 on TPU -> 43x memory)
     lm_alive: jnp.ndarray    # [Lp] bool
     lm_obs: jnp.ndarray      # [Lp] int32 incremental observation counts
     # --- cursors ---
@@ -82,12 +83,12 @@ class MapState(NamedTuple):
     @property
     def lm_capacity(self) -> int:
         """LOGICAL landmark capacity (allocation limit)."""
-        return self.lm_pos.shape[0] - self.n_features
+        return self.lm_pos.shape[1] - self.n_features
 
     @property
     def lm_physical(self) -> int:
         """Physical table size (logical capacity + padding rows)."""
-        return self.lm_pos.shape[0]
+        return self.lm_pos.shape[1]
 
 
 def empty_map(
@@ -104,7 +105,7 @@ def empty_map(
         kf_fvalid=jnp.zeros((K, N), bool),
         kf_feat_lm=jnp.full((K, N), FREE, jnp.int32),
         kf_depth=jnp.zeros((K, N), jnp.float32),
-        lm_pos=jnp.zeros((Lp, 3), jnp.float32),
+        lm_pos=jnp.zeros((3, Lp), jnp.float32),
         lm_alive=jnp.zeros((Lp,), bool),
         lm_obs=jnp.zeros((Lp,), jnp.int32),
         next_kf=jnp.zeros((), jnp.int32),
@@ -205,9 +206,9 @@ def allocate_landmarks(
     iota = jnp.arange(N)
     created_row = iota < n_created
 
-    pos_win = jax.lax.dynamic_slice(ms.lm_pos, (start, 0), (N, 3))
-    pos_win = jnp.where(created_row[:, None], pos_sorted, pos_win)
-    lm_pos = jax.lax.dynamic_update_slice(ms.lm_pos, pos_win, (start, 0))
+    pos_win = jax.lax.dynamic_slice(ms.lm_pos, (0, start), (3, N))
+    pos_win = jnp.where(created_row[None, :], pos_sorted.T, pos_win)
+    lm_pos = jax.lax.dynamic_update_slice(ms.lm_pos, pos_win, (0, start))
 
     alive_win = jax.lax.dynamic_slice(ms.lm_alive, (start,), (N,))
     alive_win = jnp.where(created_row, True, alive_win)

@@ -86,7 +86,7 @@ def pnp_correspondences(
     feat_lm = ms.kf_feat_lm[kf_slot]          # [N]
     has_lm = feat_lm >= 0                      # has_landmark && !is_outlier
     lm = jnp.clip(feat_lm, 0, ms.lm_physical - 1)
-    p = ms.lm_pos[lm]
+    p = ms.lm_pos[:, lm].T
     alive = ms.lm_alive[lm]
     finite = jnp.all(jnp.isfinite(p), axis=-1)
     in_range = jnp.all(jnp.abs(p) <= 1000.0, axis=-1)  # tracking.cpp:392
@@ -218,7 +218,7 @@ def cull_landmarks(
     alive_kf = msl.kf_alive(ms)
     has = alive_kf[:, None] & ms.kf_fvalid & (ms.kf_feat_lm >= 0)
     lm = jnp.clip(ms.kf_feat_lm, 0, L - 1)
-    pw = ms.lm_pos[lm]                                   # [K,N,3]
+    pw = jnp.moveaxis(ms.lm_pos[:, lm], 0, -1)           # [K,N,3]
     pose = Pose(ms.kf_q[:, None, :], ms.kf_t[:, None, :])
     uv, ok, _ = project_pinhole(cam, pose, pw)
     err = jnp.linalg.norm(uv - ms.kf_px, axis=-1)
