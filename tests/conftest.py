@@ -27,9 +27,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 import jax._src.xla_bridge as _xb  # noqa: E402
 
-for _name in list(_xb._backend_factories):
-    if _name != "cpu":
-        _xb._backend_factories.pop(_name)
+# drop ONLY the axon tunnel backend: removing 'tpu' as well would strip the
+# platform from the MLIR registry and break pallas-TPU imports
+_xb._backend_factories.pop("axon", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -185,19 +185,26 @@ def _extract_level(
     quota: int,
     fast_threshold: float,
     border: int,
+    use_pallas: bool = False,
 ):
     """One pyramid level -> (xy [q,2] level coords, resp [q], desc [q,32],
     valid [q])."""
     H, W = img.shape
-    corners = _fast_corners(img, fast_threshold)
-    harris = _harris(img)
-
     ys, xs = np.mgrid[0:H, 0:W]
     in_border = jnp.asarray(
         (xs >= border) & (xs < W - border) & (ys >= border) & (ys < H - border)
     )
-    cand = corners & in_border & _nms3(jnp.where(corners, harris, -jnp.inf))
-    score = jnp.where(cand, harris, -jnp.inf)
+    if use_pallas:
+        # fused FAST+Harris+NMS in one VMEM-resident Pallas kernel
+        from ..ops.pallas_detect import NEG, fast_harris_score
+
+        raw = fast_harris_score(img, fast_threshold)
+        score = jnp.where(in_border & (raw > 0.5 * NEG), raw, -jnp.inf)
+    else:
+        corners = _fast_corners(img, fast_threshold)
+        harris = _harris(img)
+        cand = corners & in_border & _nms3(jnp.where(corners, harris, -jnp.inf))
+        score = jnp.where(cand, harris, -jnp.inf)
 
     flat = score.reshape(-1)
     top, idx = jax.lax.top_k(flat, quota)
@@ -247,7 +254,7 @@ def _extract_level(
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "scale_factor", "n_levels", "n_slots",
-                     "fast_threshold", "border"),
+                     "fast_threshold", "border", "use_pallas"),
 )
 def orb_extract(
     gray_u8: jnp.ndarray,  # [H,W] uint8
@@ -257,9 +264,22 @@ def orb_extract(
     n_slots: int = 1024,
     fast_threshold: float = 20.0,
     border: int = 31,
+    use_pallas: int = -1,  # -1 auto (TPU only), 0 off, 1 on
 ):
     """Full ORB: returns (px [S,2] level-0 pixels, resp [S], desc [S,32],
     valid [S]) with S = n_slots; defaults mirror orb_extractor.h:11-13."""
+    if use_pallas == -1:
+        # default OFF: this environment's tunneled backend cannot compile
+        # Mosaic kernels (remote compile helper env is broken server-side,
+        # local AOT libtpu is version-mismatched). The kernel is validated
+        # in interpreter mode (tests/test_pallas_detect.py); opt in with
+        # VXS_PALLAS=1 on a setup with a working Mosaic toolchain.
+        import os
+
+        use_pallas = 1 if (
+            os.environ.get("VXS_PALLAS") == "1"
+            and jax.default_backend() not in ("cpu",)
+        ) else 0
     H, W = gray_u8.shape
     img0 = gray_u8.astype(jnp.float32)
     quotas = _level_quotas(n_features, n_levels, scale_factor)
@@ -272,7 +292,7 @@ def orb_extract(
         if lvl > 0:
             img = jax.image.resize(img0, (h, w), method="linear")
         xy, resp, desc, valid = _extract_level(
-            img, quotas[lvl], fast_threshold, border
+            img, quotas[lvl], fast_threshold, border, use_pallas=bool(use_pallas)
         )
         all_xy.append(xy * s)  # scale coords back to level 0
         all_resp.append(resp)
