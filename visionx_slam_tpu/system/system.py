@@ -124,25 +124,58 @@ class System:
         from ..tracking.scan_pipeline import run_scan_pipeline
 
         cfg = self.cfg
-        t_load0 = time.perf_counter()
-        grays, depths = [], []
-        for gray, depth in self._frames(entries):
-            grays.append(gray)
-            depths.append(depth)
-        grays = np.stack(grays)
-        depths = np.stack(depths)
-        t_load = time.perf_counter() - t_load0
+        # streaming: decode chunk k+1 (C++ prefetch threads, no GIL) while
+        # the device scans chunk k — the pipeline-parallelism analog of the
+        # reference's producer thread (SURVEY.md §2.2 row "PP")
+        CHUNK = 64
+        t_all0 = time.perf_counter()
+        t_load = 0.0
+        st = None
+        frame0 = 0
+        chunk_outs = []
+        buf_g, buf_d = [], []
+
+        def flush(pad_to=None):
+            nonlocal st, frame0
+            if not buf_g:
+                return
+            g = np.stack(buf_g)
+            d = np.stack(buf_d)
+            n_pad = 0
+            if pad_to is not None and len(buf_g) < pad_to:
+                n_pad = pad_to - len(buf_g)
+                g = np.concatenate([g, np.repeat(g[-1:], n_pad, 0)])
+                d = np.concatenate([d, np.repeat(d[-1:], n_pad, 0)])
+            st_new, outs = run_scan_pipeline(
+                self.cam, g, d, cfg.tracking,
+                orb_kwargs={"n_features": cfg.n_features},
+                st0=st, frame0=frame0,
+            )
+            st = st_new
+            frame0 += len(buf_g)  # padded duplicates get ids past the end
+            chunk_outs.append((outs, len(buf_g)))
+            buf_g.clear()
+            buf_d.clear()
 
         t0 = time.perf_counter()
-        st, outs = run_scan_pipeline(
-            self.cam, grays, depths, cfg.tracking,
-            orb_kwargs={"n_features": cfg.n_features},
+        for gray, depth in self._frames(entries):
+            buf_g.append(gray)
+            buf_d.append(depth)
+            if len(buf_g) == CHUNK:
+                flush()  # async dispatch; decode continues immediately
+        flush(pad_to=CHUNK if len(entries) > CHUNK else None)
+
+        # stitch per-chunk outputs (dropping padded tail frames)
+        outs = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs),
+            *[jax.tree.map(lambda x: x[:n], o) for o, n in chunk_outs],
         )
-        # force a host transfer: on the tunneled backend block_until_ready
-        # can return before execution completes, so a dependent scalar
-        # readback is the only honest fence
+        # honest fence: dependent scalar readback (block_until_ready can
+        # return early on the tunneled backend)
         _ = float(jnp.sum(outs.n_inliers))
-        t_scan = time.perf_counter() - t0
+        t_scan = time.perf_counter() - t0  # decode is overlapped inside this
+        t_load = 0.0
+        del t_all0
         self.tracker.ms = st.ms  # adopt the final map (global BA / snapshot)
 
         tracked = np.asarray(outs.tracked)

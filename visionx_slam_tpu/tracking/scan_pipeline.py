@@ -522,7 +522,7 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
     opts = TrackingOptions(**dict(opts_key))
 
     if not batched:
-        def run(cam, images_u8, depths_m):
+        def run(cam, st0, frame0, images_u8, depths_m):
             T = images_u8.shape[0]
             step = build_scan_step(
                 cam, opts, img_wh,
@@ -532,11 +532,10 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                 orb_kwargs=dict(orb_kwargs_tuple),
                 stage_limit=stage_limit,
             )
-            st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
-            frame_ids = jnp.arange(T, dtype=jnp.int32)
+            frame_ids = frame0 + jnp.arange(T, dtype=jnp.int32)
             return jax.lax.scan(step, st0, (frame_ids, images_u8, depths_m))
 
-        return jax.jit(run)
+        return jax.jit(run, donate_argnums=(1,))
 
     def run_batched(cam, images_u8, depths_m):
         """Batched throughput mode (BASELINE config 5 on ONE chip): vmap the
@@ -574,16 +573,24 @@ def run_scan_pipeline(
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
     stage_limit: int = 2,
+    st0: ScanState | None = None,
+    frame0: int = 0,
 ) -> tuple[ScanState, FrameOut]:
-    """Run the whole sequence on device; returns (final state, per-frame
-    outputs stacked along T)."""
+    """Run a (chunk of a) sequence on device; returns (final state,
+    per-frame outputs stacked along T). Pass the previous chunk's final
+    state as ``st0`` (and its running ``frame0``) to stream a long
+    sequence chunk-by-chunk — host decode of chunk k+1 then overlaps the
+    device scan of chunk k."""
     T, H, W = images_u8.shape
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_scan(
         opts_key, (W, H), n_features_cap, kf_capacity, lm_capacity,
         tuple(sorted((orb_kwargs or {}).items())), stage_limit,
     )
-    return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
+    if st0 is None:
+        st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
+    return fn(cam, st0, jnp.asarray(frame0, jnp.int32),
+              jnp.asarray(images_u8), jnp.asarray(depths_m))
 
 
 def run_scan_pipeline_batched(
