@@ -171,6 +171,7 @@ def generate_sequence(
     n_frames: int = 60,
     seed: int = 0,
     fps: float = 30.0,
+    frames_per_loop: int = 240,
 ) -> str:
     """Write a synthetic sequence in TUM RGB-D layout; returns dataset root."""
     import cv2
@@ -185,7 +186,7 @@ def generate_sequence(
 
     for i in range(n_frames):
         ts = t0 + i / fps
-        R_wc, t_wc = trajectory_pose(i, n_frames)
+        R_wc, t_wc = trajectory_pose(i, n_frames, frames_per_loop)
         gray, depth = render_frame(planes, R_wc, t_wc)
 
         rgb_rel = f"rgb/{ts:.6f}.png"
