@@ -107,18 +107,32 @@ def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def _fast_corners(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9/16 corner mask (bool [H,W])."""
-    taps = jnp.stack([_shift(img, int(dy), int(dx)) for dy, dx in FAST_CIRCLE])
-    bright = taps > img[None] + threshold
-    dark = taps < img[None] - threshold
+    """FAST-9/16 corner mask (bool [H,W]).
 
-    def contiguous9(m):
-        mm = jnp.concatenate([m, m[:8]], axis=0).astype(jnp.float32)  # [24,H,W]
-        # window-of-9 minimum along the circle axis
-        runs = jnp.stack([mm[i : i + 9].min(axis=0) for i in range(16)])
-        return runs.max(axis=0) > 0.5
+    The 16 circle comparisons are packed into an int32 bitmask per pixel
+    and the cyclic run-of-9 test is done with shift-ANDs — two [H,W] int32
+    temporaries instead of a [24,H,W] stack of window minimums (which
+    lowered to a pathological fusion on TPU).
+    """
+    hi = img + threshold
+    lo = img - threshold
+    bright = jnp.zeros(img.shape, jnp.int32)
+    dark = jnp.zeros(img.shape, jnp.int32)
+    for i, (dy, dx) in enumerate(FAST_CIRCLE):
+        tap = _shift(img, int(dy), int(dx))
+        bit = jnp.int32(1 << i)
+        bright = bright | jnp.where(tap > hi, bit, 0)
+        dark = dark | jnp.where(tap < lo, bit, 0)
 
-    return contiguous9(bright) | contiguous9(dark)
+    def run9(m):
+        x = m | (m << 16)
+        r = x & (x >> 1)   # runs >= 2
+        r = r & (r >> 2)   # runs >= 4
+        r = r & (r >> 4)   # runs >= 8
+        r = r & (x >> 8)   # runs >= 9
+        return (r & jnp.int32(0xFFFF)) != 0
+
+    return run9(bright) | run9(dark)
 
 
 def _harris(img: jnp.ndarray) -> jnp.ndarray:
