@@ -220,10 +220,25 @@ def _extract_level(
         cand = corners & in_border & _nms3(jnp.where(corners, harris, -jnp.inf))
         score = jnp.where(cand, harris, -jnp.inf)
 
-    flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, quota)
-    yy = (idx // W).astype(jnp.int32)
-    xx = (idx % W).astype(jnp.int32)
+    # grid-bucketed top-K: keep only the best corner per CELL x CELL cell,
+    # then top-K over cells. A top_k over the full H*W map dominated the
+    # frame budget; bucketing is ~60x smaller AND improves the spatial
+    # distribution (the moral analog of OpenCV ORB's grid retention).
+    CELL = 8
+    Hc, Wc = -(-H // CELL), -(-W // CELL)
+    pad_h, pad_w = Hc * CELL - H, Wc * CELL - W
+    sp = jnp.pad(score, ((0, pad_h), (0, pad_w)), constant_values=-jnp.inf)
+    cells = sp.reshape(Hc, CELL, Wc, CELL).transpose(0, 2, 1, 3).reshape(
+        Hc, Wc, CELL * CELL
+    )
+    cell_max = jnp.max(cells, axis=-1)              # [Hc,Wc]
+    cell_arg = jnp.argmax(cells, axis=-1)           # [Hc,Wc] offset in cell
+    top, cidx = jax.lax.top_k(cell_max.reshape(-1), quota)
+    cy = (cidx // Wc).astype(jnp.int32)
+    cx = (cidx % Wc).astype(jnp.int32)
+    off = cell_arg.reshape(-1)[cidx].astype(jnp.int32)
+    yy = cy * CELL + off // CELL
+    xx = cx * CELL + off % CELL
     valid = jnp.isfinite(top)
 
     # ---- one patch extraction feeds both orientation and BRIEF ----
