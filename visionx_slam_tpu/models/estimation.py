@@ -414,8 +414,8 @@ def pnp_ransac(
     valid: jnp.ndarray,     # [N] bool
     key: jax.Array,
     reproj_thresh: float = 2.0,   # reference max_reproj_error flag
-    n_hypotheses: int = 128,
-    refine_iters: int = 10,
+    n_hypotheses: int = 64,
+    refine_iters: int = 6,
     init_pose: Pose | None = None,
 ) -> PnPResult:
     """PnP RANSAC with final GN refinement on inliers.
@@ -465,14 +465,14 @@ def pnp_ransac(
     )  # [n_polish, N]
     poses_h = jax.vmap(
         lambda R, t, w: _pose_gn_refine(
-            cam, Pose(matrix_to_quat(R), t), pts3d, pts2d, w, iters=3
+            cam, Pose(matrix_to_quat(R), t), pts3d, pts2d, w, iters=2
         )
     )(Rs, ts, sample_w)
 
     if init_pose is not None:
         prior = _pose_gn_refine(
             cam, init_pose, pts3d, pts2d, valid.astype(pts3d.dtype),
-            iters=5, robust=True,
+            iters=4, robust=True,
             huber_delta=2.0 * reproj_thresh, gate_px=10.0 * reproj_thresh,
         )
         poses_h = jax.tree.map(
