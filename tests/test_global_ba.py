@@ -71,7 +71,7 @@ def mean_reproj(ms):
         links = np.asarray(ms.kf_feat_lm[k])
         sel = np.asarray(ms.kf_fvalid[k]) & (links >= 0)
         proj = project_np(R, t, pos[links[sel]])
-        tot += np.linalg.norm(proj - np.asarray(ms.kf_px[k])[sel], -1).sum()
+        tot += np.linalg.norm(proj - np.asarray(ms.kf_px[k]).T[sel], -1).sum()
         cnt += sel.sum()
     return tot / max(cnt, 1)
 

@@ -83,7 +83,7 @@ def mean_reproj_err(ms, X=None):
         links = np.asarray(ms.kf_feat_lm[k])
         valid = np.asarray(ms.kf_fvalid[k])
         sel = valid & (links >= 0)
-        px = np.asarray(ms.kf_px[k])[sel]
+        px = np.asarray(ms.kf_px[k]).T[sel]
         proj = project_np(R, t, pos[links[sel]])
         err_total += np.linalg.norm(proj - px, axis=-1).sum()
         cnt += sel.sum()

@@ -95,7 +95,7 @@ def global_ba(
         zs = jnp.maximum(pc[..., 2], 1e-6)
         u = cam.fx * pc[..., 0] / zs + cam.cx
         v = cam.fy * pc[..., 1] / zs + cam.cy
-        err = ms.kf_px - jnp.stack([u, v], -1)
+        err = jnp.swapaxes(ms.kf_px, 1, 2) - jnp.stack([u, v], -1)
         err_n = jnp.linalg.norm(err, axis=-1)
         obs = (
             has_lm & ms.lm_alive[lm_idx] & z_ok

@@ -94,7 +94,7 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
     N = ms.n_features
 
     # gather the window's feature tables once (slots are static-shape)
-    f_px = ms.kf_px[slots]          # [W,N,2]
+    f_px = jnp.swapaxes(ms.kf_px[slots], 1, 2)  # [W,N,2]
     f_valid = ms.kf_fvalid[slots] & wvalid[:, None]
     f_lm = ms.kf_feat_lm[slots]     # [W,N]
 

@@ -354,7 +354,7 @@ class Tracker:
             log.warning("[TrackWithPnP] Invalid pose")
             return False
 
-        kf_px = self.ms.kf_px[slot]
+        kf_px = self.ms.kf_px[slot].T
         self.last_parallax = float(stages.parallax_px(kf_px, obs.px, m))
         self.last_inliers = inliers
         res.n_inliers = inliers

@@ -57,7 +57,8 @@ class MapState(NamedTuple):
     kf_q: jnp.ndarray        # [K,4] T_cw rotation (wxyz)
     kf_t: jnp.ndarray        # [K,3] T_cw translation
     kf_id: jnp.ndarray       # [K] int32 frame id, -1 = empty slot
-    kf_px: jnp.ndarray       # [K,N,2] feature pixels
+    kf_px: jnp.ndarray       # [K,2,N] feature pixels (coordinate-major: a
+                             # trailing dim of 2 pads to 128 lanes -> 64x memory)
     kf_desc: jnp.ndarray     # [K,N,32] uint8 descriptors
     kf_fvalid: jnp.ndarray   # [K,N] feature validity
     kf_feat_lm: jnp.ndarray  # [K,N] int32 landmark slot / FREE / OUTLIER
@@ -78,7 +79,7 @@ class MapState(NamedTuple):
 
     @property
     def n_features(self) -> int:
-        return self.kf_px.shape[1]
+        return self.kf_px.shape[2]
 
     @property
     def lm_capacity(self) -> int:
@@ -100,7 +101,7 @@ def empty_map(
         kf_q=jnp.zeros((K, 4), jnp.float32).at[:, 0].set(1.0),
         kf_t=jnp.zeros((K, 3), jnp.float32),
         kf_id=jnp.full((K,), -1, jnp.int32),
-        kf_px=jnp.zeros((K, N, 2), jnp.float32),
+        kf_px=jnp.zeros((K, 2, N), jnp.float32),
         kf_desc=jnp.zeros((K, N, 32), jnp.uint8),
         kf_fvalid=jnp.zeros((K, N), bool),
         kf_feat_lm=jnp.full((K, N), FREE, jnp.int32),
@@ -162,7 +163,7 @@ def insert_keyframe(
             kf_q=ms.kf_q.at[slot].set(pose.q),
             kf_t=ms.kf_t.at[slot].set(pose.t),
             kf_id=ms.kf_id.at[slot].set(frame_id.astype(jnp.int32)),
-            kf_px=ms.kf_px.at[slot].set(px),
+            kf_px=ms.kf_px.at[slot].set(px.T),
             kf_desc=ms.kf_desc.at[slot].set(desc),
             kf_fvalid=ms.kf_fvalid.at[slot].set(fvalid),
             kf_feat_lm=ms.kf_feat_lm.at[slot].set(feat_lm),

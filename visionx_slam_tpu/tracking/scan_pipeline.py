@@ -182,7 +182,7 @@ def build_scan_step(
         )
 
         def pnp_result(_):
-            par = stages.parallax_px(st.ms.kf_px[slot], obs.px, m)
+            par = stages.parallax_px(st.ms.kf_px[slot].T, obs.px, m)
             return sol.pose, sol.n_inliers, par, n_matches, jnp.asarray(True)
 
         def fallback(_):

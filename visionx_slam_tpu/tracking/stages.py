@@ -115,7 +115,7 @@ def depth_landmarks(
     OUTLIER-flagged features are eligible again, and the new link clears
     the outlier flag (:646-648) — reproduced here.
     """
-    px = ms.kf_px[kf_slot]
+    px = ms.kf_px[kf_slot].T
     fvalid = ms.kf_fvalid[kf_slot]
     feat_lm = ms.kf_feat_lm[kf_slot]
     d = ms.kf_depth[kf_slot]
@@ -145,7 +145,7 @@ def triangulate_pair(
     does NOT apply the min-dist filter on this path), gate by triangulation
     angle and two-sided reprojection error, create landmarks and link both
     frames' features."""
-    px_a, px_b = ms.kf_px[slot_a], ms.kf_px[slot_b]
+    px_a, px_b = ms.kf_px[slot_a].T, ms.kf_px[slot_b].T
     res = matching.knn2_ratio_match(
         ms.kf_desc[slot_a], ms.kf_fvalid[slot_a],
         ms.kf_desc[slot_b], ms.kf_fvalid[slot_b],
@@ -221,7 +221,7 @@ def cull_landmarks(
     pw = jnp.moveaxis(ms.lm_pos[:, lm], 0, -1)           # [K,N,3]
     pose = Pose(ms.kf_q[:, None, :], ms.kf_t[:, None, :])
     uv, ok, _ = project_pinhole(cam, pose, pw)
-    err = jnp.linalg.norm(uv - ms.kf_px, axis=-1)
+    err = jnp.linalg.norm(uv - jnp.swapaxes(ms.kf_px, 1, 2), axis=-1)
     measurable = has & ok                                 # ProjectToPixel fail -> skip
 
     # sorted packed segment reduction (unsorted TPU scatters serialize)
