@@ -438,6 +438,9 @@ class Tracker:
 
     def _create_keyframe(self, frame_id, obs, res):
         pose = self.current_pose
+        # recycle dead landmark slots before the allocator runs dry
+        if int(self.ms.next_lm) > self.lm_capacity - 3 * self.n_features:
+            self.ms = msl.compact_landmarks(self.ms)
         prev_slot = jnp.asarray(self.last_kf_slot)
         self.ms, slot = msl.insert_keyframe(
             self.ms, jnp.asarray(frame_id), pose,

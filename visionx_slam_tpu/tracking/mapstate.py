@@ -269,6 +269,34 @@ def remove_keyframe_slot(ms: MapState, slot: jnp.ndarray) -> MapState:
     )
 
 
+def compact_landmarks(ms: MapState) -> MapState:
+    """Compact alive landmarks to the front of the table and remap links.
+
+    The allocator is monotone (contiguous slots, scatter-free); long
+    sequences exhaust the logical capacity even though most old landmarks
+    are dead (ring-evicted keyframes). Compaction = one stable sort moving
+    alive rows to the front (relative order preserved) + a gather remap of
+    every feat->lm link. Runs rarely (guarded by the caller when the
+    cursor approaches capacity), costs two argsorts of the table.
+    """
+    Lp = ms.lm_physical
+    order = jnp.argsort(jnp.where(ms.lm_alive, 0, 1), stable=True)  # alive first
+    inv = jnp.argsort(order)  # old slot -> new slot
+    n_alive = jnp.sum(ms.lm_alive).astype(jnp.int32)
+
+    links = ms.kf_feat_lm
+    remapped = jnp.where(
+        links >= 0, inv[jnp.clip(links, 0, Lp - 1)].astype(jnp.int32), links
+    )
+    return ms._replace(
+        lm_pos=ms.lm_pos[:, order],
+        lm_alive=ms.lm_alive[order],
+        lm_obs=ms.lm_obs[order],
+        kf_feat_lm=remapped,
+        next_lm=n_alive,
+    )
+
+
 def window_slots(ms: MapState, window_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Slots of the most recent ``window_size`` alive keyframes, ascending
     by frame id (SelectKeyFrames, local_ba.cpp:42-62). Returns

@@ -326,6 +326,12 @@ def build_scan_step(
     def create_keyframe(st: ScanState, obs, frame_id):
         """CreateKeyFrame + culling + local BA (tracking.cpp:76-85, 577-584)."""
         ms = st.ms
+        # recycle dead landmark slots before the allocator runs dry (long
+        # sequences: ring-evicted keyframes leave most of the table dead)
+        ms = jax.lax.cond(
+            ms.next_lm > lm_capacity - 3 * n_features_cap,
+            msl.compact_landmarks, lambda m: m, ms,
+        )
         prev_slot = jnp.maximum(st.last_kf_slot, 0)
         with jax.named_scope("kf_insert"):
             ms, slot = msl.insert_keyframe(
