@@ -38,9 +38,11 @@ def test_compact_preserves_structure(rng):
     )
     pos_of = {i: np.array(ms.lm_pos[:, i]) for i in (1, 3, 5)}
     obs_of = {i: int(ms.lm_obs[i]) for i in (1, 3, 5)}
-    n_alive = int(msl.n_landmarks(ms))
 
     ms2 = msl.compact_landmarks(ms)
+    # only landmarks with live observations survive compaction (zero-obs
+    # landmarks are unreachable: no link can point at them)
+    n_alive = 3
     assert int(msl.n_landmarks(ms2)) == n_alive
     assert int(ms2.next_lm) == n_alive
     alive = np.asarray(ms2.lm_alive)

@@ -274,15 +274,19 @@ def compact_landmarks(ms: MapState) -> MapState:
 
     The allocator is monotone (contiguous slots, scatter-free); long
     sequences exhaust the logical capacity even though most old landmarks
-    are dead (ring-evicted keyframes). Compaction = one stable sort moving
-    alive rows to the front (relative order preserved) + a gather remap of
-    every feat->lm link. Runs rarely (guarded by the caller when the
-    cursor approaches capacity), costs two argsorts of the table.
+    are unreachable (their keyframes were ring-evicted; with culling off —
+    the reference default — nothing ever marks them dead). A landmark with
+    ZERO live observations cannot be referenced by any feat->lm link, so
+    it is reaped here. Compaction = one stable sort moving the kept rows
+    to the front (relative order preserved) + a gather remap of every
+    link. Runs rarely (guarded by the caller when the cursor approaches
+    capacity), costs two argsorts of the table.
     """
     Lp = ms.lm_physical
-    order = jnp.argsort(jnp.where(ms.lm_alive, 0, 1), stable=True)  # alive first
+    keep = ms.lm_alive & (ms.lm_obs > 0)
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)  # kept rows first
     inv = jnp.argsort(order)  # old slot -> new slot
-    n_alive = jnp.sum(ms.lm_alive).astype(jnp.int32)
+    n_keep = jnp.sum(keep).astype(jnp.int32)
 
     links = ms.kf_feat_lm
     remapped = jnp.where(
@@ -290,10 +294,10 @@ def compact_landmarks(ms: MapState) -> MapState:
     )
     return ms._replace(
         lm_pos=ms.lm_pos[:, order],
-        lm_alive=ms.lm_alive[order],
-        lm_obs=ms.lm_obs[order],
+        lm_alive=ms.lm_alive[order] & (ms.lm_obs[order] > 0),
+        lm_obs=jnp.where(keep[order], ms.lm_obs[order], 0),
         kf_feat_lm=remapped,
-        next_lm=n_alive,
+        next_lm=n_keep,
     )
 
 
