@@ -16,6 +16,7 @@
 #include <png.h>
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -158,6 +159,7 @@ struct Prefetcher {
   std::vector<Frame> slots;
   std::vector<char> ready;
   std::atomic<size_t> next_job{0};
+  std::atomic<long> decode_us{0};  // total worker decode time (overlapped)
   size_t next_out = 0;
   bool stop = false;
 
@@ -169,11 +171,21 @@ struct Prefetcher {
         // bound how far decode runs ahead of consumption
         std::unique_lock<std::mutex> lk(mu);
         cv_produce.wait(lk, [&] { return stop || job < next_out + depth_q; });
-        if (stop) return;
+        if (stop) {
+          // a consumer may be blocked on this undecoded slot: mark it ready
+          // (not ok -> consumer sees a decode failure, never a hang)
+          ready[job] = 1;
+          cv_consume.notify_all();
+          return;
+        }
       }
       Frame f;
+      auto t0 = std::chrono::steady_clock::now();
       f.gray = decode_gray_impl(rgb_paths[job].c_str());
       f.depth = decode_depth_impl(depth_paths[job].c_str(), depth_scale);
+      decode_us.fetch_add(std::chrono::duration_cast<std::chrono::microseconds>(
+                              std::chrono::steady_clock::now() - t0)
+                              .count());
       {
         std::lock_guard<std::mutex> lk(mu);
         slots[job] = std::move(f);
@@ -239,7 +251,8 @@ int vxs_prefetch_next(void* handle, uint8_t* gray, long gray_max, float* depth,
     std::unique_lock<std::mutex> lk(p->mu);
     if (p->next_out >= p->rgb_paths.size()) return 1;
     i = p->next_out;
-    p->cv_consume.wait(lk, [&] { return p->ready[i] != 0; });
+    p->cv_consume.wait(lk, [&] { return p->stop || p->ready[i] != 0; });
+    if (p->stop && p->ready[i] == 0) return 1;  // shutting down
     p->next_out = i + 1;
   }
   p->cv_produce.notify_all();
@@ -257,6 +270,12 @@ int vxs_prefetch_next(void* handle, uint8_t* gray, long gray_max, float* depth,
   return 0;
 }
 
+// Total seconds worker threads spent decoding (overlapped with compute).
+double vxs_prefetch_decode_seconds(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  return p->decode_us.load() * 1e-6;
+}
+
 void vxs_prefetch_destroy(void* handle) {
   auto* p = static_cast<Prefetcher*>(handle);
   {
@@ -265,6 +284,7 @@ void vxs_prefetch_destroy(void* handle) {
     p->next_out = p->rgb_paths.size();  // unblock producers
   }
   p->cv_produce.notify_all();
+  p->cv_consume.notify_all();  // unblock a consumer stuck in next()
   for (auto& t : p->workers) t.join();
   delete p;
 }

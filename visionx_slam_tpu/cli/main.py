@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import logging
 import sys
 
 from ..utils.config import (
@@ -70,11 +69,10 @@ def parse_config(argv=None) -> SystemConfig:
 
 
 def entrypoint(argv=None) -> int:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(levelname).1s %(asctime)s %(name)s] %(message)s",
-        stream=sys.stderr,
-    )
+    # glog-style stderr logging (reference InitLogger, logger.cpp:5-9)
+    from ..utils.logging import init_logger
+
+    init_logger()
     cfg = parse_config(argv)
     from ..system.system import System
 

@@ -37,14 +37,26 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its C++ source (a stale
+    or tampered binary must never be silently preferred)."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "vxs_io.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return True
+
+
 def load_library():
-    """Load (building if needed) libvxs_io; returns None on failure."""
+    """Load (building if needed/stale) libvxs_io; returns None on failure."""
     global _lib
     if _lib is not None:
         return _lib
     if os.environ.get("VXS_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO_PATH) and not _build():
+    if _stale() and not _build():
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -76,6 +88,8 @@ def load_library():
     ]
     lib.vxs_prefetch_destroy.restype = None
     lib.vxs_prefetch_destroy.argtypes = [ctypes.c_void_p]
+    lib.vxs_prefetch_decode_seconds.restype = ctypes.c_double
+    lib.vxs_prefetch_decode_seconds.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -145,6 +159,7 @@ class NativePrefetcher:
             rgb_arr, depth_arr, self._n, queue_depth, n_threads, depth_scale
         )
         self._closed = False
+        self._decode_s = 0.0
 
     def __iter__(self):
         gray = np.empty(self._max_hw[0] * self._max_hw[1], np.uint8)
@@ -168,8 +183,18 @@ class NativePrefetcher:
                 depth[: hw[0] * hw[1]].reshape(hw).copy(),
             )
 
+    def decode_seconds(self) -> float:
+        """Total worker decode time so far (overlapped with compute)."""
+        if self._closed:
+            return self._decode_s
+        self._decode_s = float(
+            self._lib.vxs_prefetch_decode_seconds(self._handle)
+        )
+        return self._decode_s
+
     def close(self):
         if not self._closed:
+            self.decode_seconds()
             self._lib.vxs_prefetch_destroy(self._handle)
             self._closed = True
 

@@ -421,9 +421,13 @@ def pnp_ransac(
     """PnP RANSAC with final GN refinement on inliers.
 
     Mirrors cv::solvePnPRansac as called at tracking.cpp:422-423
-    (iterations min(100, 2n) -> fixed 128-hypothesis budget >= that cap,
-    reprojection gate ``max_reproj_error``, conf 0.99) followed by
-    refinement on the inlier set.
+    (reprojection gate ``max_reproj_error``, conf 0.99) followed by
+    refinement on the inlier set. The raw hypothesis budget is 64 — below
+    OpenCV's typical min(100, 2n) iteration count — but each kept
+    hypothesis gets a calibrated GN polish and a motion-prior IRLS
+    hypothesis competes in the same consensus, which covers the smaller
+    raw budget (validated against cv2.solvePnPRansac in
+    tests/test_estimation.py).
 
     Minimal solver: 6-point DLT (TPU-friendly batched eigh) followed by a
     short calibrated GN polish on the sample. The projective DLT is

@@ -34,7 +34,10 @@ def inv3x3(A: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     A21 = b * g - a * h
     A22 = a * e - b * d
     det = a * A00 + b * A10 + c * A20
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
+    # clamp |det| >= eps, preserving sign; NOTE sign(det)*eps + eps would be
+    # exactly 0 for small-negative det (the guard's failure mode)
+    det_safe = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    inv_det = 1.0 / det_safe
     adj = jnp.stack(
         [
             jnp.stack([A00, A01, A02], -1),
@@ -55,7 +58,8 @@ def inv2x2(A: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     a, b = A[..., 0, 0], A[..., 0, 1]
     c, d = A[..., 1, 0], A[..., 1, 1]
     det = a * d - b * c
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, jnp.sign(det) * eps + eps, det)
+    det_safe = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    inv_det = 1.0 / det_safe
     m = jnp.stack([jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
     return m * inv_det[..., None, None]
 

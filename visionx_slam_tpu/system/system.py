@@ -28,6 +28,7 @@ from ..tracking import mapstate as msl
 from ..tracking.frontend import Tracker
 from ..tracking.stages import FrameObs
 from ..utils.config import SystemConfig
+from ..utils.logging import JsonlWriter, StageTimer
 
 log = logging.getLogger("vxs.system")
 
@@ -54,6 +55,11 @@ class System:
             self.extractor = JaxOrbExtractor(n_features=cfg.n_features)
         self.tracker = Tracker(self.cam, cfg.tracking)
         self.results = []
+        self.timer = StageTimer()
+        self._prefetcher = None  # live NativePrefetcher (for decode stats)
+        self._frame0 = 0         # id offset when resuming from a snapshot
+        if cfg.resume_from and cfg.pipeline != "scan":
+            raise ValueError("--resume_from requires --pipeline scan")
 
     def run(self) -> dict:
         cfg = self.cfg
@@ -86,28 +92,33 @@ class System:
         """Per-frame host state machine (reference-parity path)."""
         cfg = self.cfg
         jsonl_path = os.path.join(cfg.output_dir, "frames.jsonl")
-        jsonl = open(jsonl_path, "w") if cfg.metrics_jsonl else None
+        jsonl = JsonlWriter(jsonl_path) if cfg.metrics_jsonl else None
 
         t_start = time.perf_counter()
         for fid, (e, (gray, depth)) in enumerate(zip(entries, self._frames(entries))):
-            px, resp, desc, valid = self.extractor.extract(gray)
+            with self.timer.stage("extract"):
+                px, resp, desc, valid = self.extractor.extract(gray)
             d = sample_depth_at(px, valid, depth)
             obs = FrameObs(
                 px=jnp.asarray(px), response=jnp.asarray(resp),
                 desc=jnp.asarray(desc), valid=jnp.asarray(valid),
                 depth=jnp.asarray(d),
             )
-            res = self.tracker.process(fid, e.timestamp, gray, obs)
+            with self.timer.stage("track"):
+                res = self.tracker.process(fid, e.timestamp, gray, obs)
             self.results.append(res)
             if jsonl:
                 rec = asdict(res)
                 rec["pose_T_cw"] = None if res.pose_T_cw is None else res.pose_T_cw.tolist()
-                jsonl.write(json.dumps(rec) + "\n")
+                jsonl.write(rec)
         wall = time.perf_counter() - t_start
         if jsonl:
             jsonl.close()
 
         summary = self._write_outputs(entries, wall)
+        summary["stage_timings"] = self.timer.summary()
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
         return summary
 
     # ------------------------------------------------------------------
@@ -121,17 +132,21 @@ class System:
         import jax
 
         from ..tracking.frontend import FrameResult, State
-        from ..tracking.scan_pipeline import run_scan_pipeline
+        from ..tracking.scan_pipeline import resume_state, run_scan_pipeline
 
         cfg = self.cfg
         # streaming: decode chunk k+1 (C++ prefetch threads, no GIL) while
         # the device scans chunk k — the pipeline-parallelism analog of the
         # reference's producer thread (SURVEY.md §2.2 row "PP")
         CHUNK = 64
-        t_all0 = time.perf_counter()
-        t_load = 0.0
         st = None
         frame0 = 0
+        if cfg.resume_from:
+            ms0, meta = self.load_snapshot_full(cfg.resume_from)
+            st = resume_state(ms0)
+            frame0 = int(meta.get("next_frame_id", 0))
+            self._frame0 = frame0
+            log.info("Resuming from %s at frame id %d", cfg.resume_from, frame0)
         chunk_outs = []
         buf_g, buf_d = [], []
 
@@ -146,11 +161,12 @@ class System:
                 n_pad = pad_to - len(buf_g)
                 g = np.concatenate([g, np.repeat(g[-1:], n_pad, 0)])
                 d = np.concatenate([d, np.repeat(d[-1:], n_pad, 0)])
-            st_new, outs = run_scan_pipeline(
-                self.cam, g, d, cfg.tracking,
-                orb_kwargs={"n_features": cfg.n_features},
-                st0=st, frame0=frame0,
-            )
+            with self.timer.stage("scan_dispatch"):
+                st_new, outs = run_scan_pipeline(
+                    self.cam, g, d, cfg.tracking,
+                    orb_kwargs={"n_features": cfg.n_features},
+                    st0=st, frame0=frame0,
+                )
             st = st_new
             frame0 += len(buf_g)  # padded duplicates get ids past the end
             chunk_outs.append((outs, len(buf_g)))
@@ -166,16 +182,18 @@ class System:
         flush(pad_to=CHUNK if len(entries) > CHUNK else None)
 
         # stitch per-chunk outputs (dropping padded tail frames)
-        outs = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs),
-            *[jax.tree.map(lambda x: x[:n], o) for o, n in chunk_outs],
-        )
-        # honest fence: dependent scalar readback (block_until_ready can
-        # return early on the tunneled backend)
-        _ = float(jnp.sum(outs.n_inliers))
+        with self.timer.stage("scan_wait"):
+            outs = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs),
+                *[jax.tree.map(lambda x: x[:n], o) for o, n in chunk_outs],
+            )
+            # honest fence: dependent scalar readback (block_until_ready can
+            # return early on the tunneled backend)
+            _ = float(jnp.sum(outs.n_inliers))
         t_scan = time.perf_counter() - t0  # decode is overlapped inside this
-        t_load = 0.0
-        del t_all0
+        # worker-thread decode time (overlapped with the scan; informational)
+        t_load = (self._prefetcher.decode_seconds()
+                  if self._prefetcher is not None else 0.0)
         self.tracker.ms = st.ms  # adopt the final map (global BA / snapshot)
 
         tracked = np.asarray(outs.tracked)
@@ -186,7 +204,7 @@ class System:
         for i, e in enumerate(entries):
             self.results.append(
                 FrameResult(
-                    frame_id=i,
+                    frame_id=self._frame0 + i,
                     timestamp=e.timestamp,
                     state=state_names[int(states[i])],
                     pose_T_cw=poses[i] if tracked[i] else None,
@@ -198,10 +216,20 @@ class System:
                     n_landmarks=int(np.asarray(outs.n_landmarks)[i]),
                 )
             )
-        summary = self._write_outputs(entries, t_load + t_scan)
+        if cfg.metrics_jsonl:
+            jsonl = JsonlWriter(os.path.join(cfg.output_dir, "frames.jsonl"))
+            for r in self.results:
+                rec = asdict(r)
+                rec["pose_T_cw"] = (None if r.pose_T_cw is None
+                                    else np.asarray(r.pose_T_cw).tolist())
+                jsonl.write(rec)
+            jsonl.close()
+
+        summary = self._write_outputs(entries, t_scan)
         summary["scan_time_s"] = t_scan
-        summary["decode_time_s"] = t_load
+        summary["decode_time_s"] = t_load  # overlapped with the scan
         summary["scan_fps"] = len(entries) / max(t_scan, 1e-9)
+        summary["stage_timings"] = self.timer.summary()
         with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=2)
         return summary
@@ -220,6 +248,7 @@ class System:
                     [e.depth_path for e in entries],
                     queue_depth=4, n_threads=2,
                 )
+                self._prefetcher = pf
                 try:
                     yield from pf
                 finally:
@@ -313,18 +342,36 @@ class System:
     # ------------------------------------------------------------------
     def save_snapshot(self, path: str):
         """Map-state checkpoint (SURVEY.md §5.4: the reference has none; the
-        map is a pytree so the snapshot is a flat npz)."""
+        map is a pytree so the snapshot is a flat npz). ``_meta_*`` keys
+        carry resume metadata (next frame id) alongside the MapState."""
         ms = self.tracker.ms
         np.savez_compressed(
-            path, **{k: np.asarray(v) for k, v in ms._asdict().items()}
+            path,
+            _meta_next_frame_id=np.asarray(
+                self._frame0 + len(self.results), np.int64),
+            **{k: np.asarray(v) for k, v in ms._asdict().items()},
         )
 
     @staticmethod
     def load_snapshot(path: str):
+        ms, _ = System.load_snapshot_full(path)
+        return ms
+
+    @staticmethod
+    def load_snapshot_full(path: str):
+        """Returns (MapState, meta dict) from a snapshot npz."""
         from ..tracking.mapstate import MapState
 
         z = np.load(path)
-        return MapState(**{k: jnp.asarray(z[k]) for k in z.files})
+        meta = {
+            k[len("_meta_"):]: z[k].item()
+            for k in z.files if k.startswith("_meta_")
+        }
+        ms = MapState(
+            **{k: jnp.asarray(z[k]) for k in z.files
+               if not k.startswith("_meta_")}
+        )
+        return ms, meta
 
 
 def _gt_mat(e) -> np.ndarray:

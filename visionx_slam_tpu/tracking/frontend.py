@@ -180,9 +180,6 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _finish(self, res: FrameResult) -> FrameResult:
-        if self.current_pose is not None and res.pose_T_cw is None and \
-                self.state in (State.TRACKING_GOOD, State.TRACKING_BAD):
-            pass  # pose only reported for frames that were actually tracked
         res.n_keyframes = int(msl.n_keyframes(self.ms))
         res.n_landmarks = int(msl.n_landmarks(self.ms))
         return res

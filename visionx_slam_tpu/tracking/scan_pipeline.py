@@ -522,6 +522,45 @@ def initial_state(n_features_cap=1024, kf_capacity=64, lm_capacity=1 << 17) -> S
     )
 
 
+def resume_state(ms: MapState) -> ScanState:
+    """Rebuild a ScanState from a restored MapState snapshot so a run can
+    CONTINUE a sequence (SURVEY.md §5.4 — the checkpoint/resume subsystem
+    the reference lacks entirely; its map lives only in RAM, map.h:30-33).
+
+    The newest alive keyframe becomes the reference keyframe: tracking
+    resumes in TRACKING_GOOD via PnP against its landmarks, exactly where
+    the snapshotted run left off. ``last_obs`` is reconstructed from the
+    keyframe tables (responses are not stored — they are unused after
+    extraction). An empty snapshot resumes in INIT.
+    """
+    n = ms.n_features
+    alive = msl.kf_alive(ms)
+    have = jnp.any(alive)
+    ids = jnp.where(alive, ms.kf_id, -1)
+    slot = jnp.argmax(ids).astype(jnp.int32)
+    ids_min = jnp.where(alive, ms.kf_id, jnp.iinfo(jnp.int32).max)
+    init_slot = jnp.argmin(ids_min).astype(jnp.int32)
+    pose = msl.map_pose(ms, slot)
+    obs = FrameObs(
+        px=ms.kf_px[slot].T,
+        response=jnp.zeros((n,), jnp.float32),
+        desc=ms.kf_desc[slot],
+        valid=ms.kf_fvalid[slot],
+        depth=ms.kf_depth[slot],
+    )
+    st = initial_state(n, ms.kf_capacity, ms.lm_capacity)
+    return st._replace(
+        ms=ms,
+        tstate=jnp.where(have, jnp.int32(GOOD), jnp.int32(INIT)),
+        last_obs=obs,
+        last_pose=pose,
+        cur_pose=pose,
+        init_kf_slot=jnp.where(have, init_slot, jnp.int32(-1)),
+        last_kf_slot=jnp.where(have, slot, jnp.int32(-1)),
+        last_kf_id=jnp.where(have, ids[slot], jnp.int32(-1)).astype(jnp.int32),
+    )
+
+
 @lru_cache(maxsize=8)
 def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                    orb_kwargs_tuple, stage_limit=2, batched=False):

@@ -183,6 +183,26 @@ def triangulate_pair(
 
     want = res.valid & free & angle_ok & finite & reproj_ok
 
+    # dedupe the train side within the batch: the reference's sequential
+    # has_landmark check (tracking.cpp:876-879) lets only the FIRST match
+    # touching a train feature create a landmark; a batched `free` computed
+    # from the pre-update table would let every query matching the same
+    # train row allocate, and the losers (one real link but obs_init=2)
+    # could never be reaped by compaction. Keep the best-distance query per
+    # train feature: sort by (train index, distance) and keep first-of-key.
+    combo = jnp.where(
+        want,
+        res.idx.astype(jnp.float32) * 512.0 + jnp.minimum(res.dist, 511.0),
+        jnp.inf,
+    )
+    order_d = jnp.argsort(combo)  # stable: ties keep lowest query row
+    key_sorted = jnp.where(want, res.idx, -1)[order_d]
+    first_of_key = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+    )
+    winner_sorted = first_of_key & (key_sorted >= 0)
+    want = want & winner_sorted[jnp.argsort(order_d)]
+
     ms2, slots = msl.allocate_landmarks(ms, want, pw, obs_init=2)
     created = slots >= 0
 

@@ -103,6 +103,10 @@ class SystemConfig:
     loader: str = "native"              # "native" (C++ prefetch pipeline) | "python"
     run_global_ba: bool = False         # full-map Schur BA after the sequence
     global_ba_iterations: int = 10
+    # resume a run from a map snapshot (map_snapshot.npz); the restored map
+    # becomes the initial state and tracking continues in TRACKING_GOOD
+    # against its newest keyframe (SURVEY.md §5.4 mandated addition)
+    resume_from: str = ""
     # "scan": whole sequence fused into one on-device lax.scan (fast path);
     # "host": per-frame host state machine (reference-parity/debug path)
     pipeline: str = "host"
