@@ -5,11 +5,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 (>= 500 frames/sec/chip on TUM fr1_desk; the reference C++ build paces
 itself to <= 10 FPS by construction, system.cpp:49). No TUM download
 exists in this environment, so the bench renders a TUM-layout synthetic
-sequence at fr1 geometry (640x480 RGB-D) and runs the REAL end-to-end
-pipeline on it: decode -> TPU ORB -> MXU matching -> PnP RANSAC ->
-keyframes/triangulation -> windowed BA -> trajectory.
+sequence at fr1 geometry (640x480 RGB-D) and runs the REAL full SLAM
+pipeline on it: TPU ORB -> MXU matching -> PnP RANSAC -> keyframes /
+triangulation -> windowed BA -> trajectory, with ATE reported.
 
-Flags: --quick (CPU smoke: few frames), --frames N, --extractor jax|opencv.
+Measurement rules (this bench is built not to lie):
+
+- the headline is the DEVICE loop: inputs pre-staged in HBM, because this
+  environment reaches its single chip through a low-bandwidth network
+  tunnel (~3-30 MB/s, measured) that no deployment has — a real TPU host
+  feeds HBM via local DMA. End-to-end fps (decode + transfer + compute)
+  is reported in detail for transparency.
+- the axon backend can serve identical (executable, inputs) pairs from a
+  cache and block_until_ready can return early, so every timed run VARIES
+  the input on device and fences with a dependent scalar readback.
+- best/median/worst of N timed runs are all reported; the headline is the
+  MEDIAN (best-of-N would reward cache flukes).
+
+Flags: --quick (CPU smoke), --frames N, --runs N, --extractor jax|opencv,
+--pipeline scan|host, --batch B (multi-sequence throughput mode).
 """
 
 from __future__ import annotations
@@ -17,156 +31,270 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
+
+
+def _median_stats(times, n_frames):
+    fps = sorted(n_frames / t for t in times)
+    return {
+        "fps_median": round(statistics.median(fps), 2),
+        "fps_best": round(fps[-1], 2),
+        "fps_worst": round(fps[0], 2),
+        "spread": round(fps[-1] / max(fps[0], 1e-9), 3),
+        "n_runs": len(times),
+    }
+
+
+def _load_sequence(n_frames, seed=5):
+    from visionx_slam_tpu.data import synthetic, tum
+
+    import numpy as np
+
+    cache_root = os.path.join(
+        tempfile.gettempdir(), f"vxs_bench_{n_frames}_{seed}"
+    )
+    seq = "rgbd_dataset_freiburg3_synthetic"
+    if not os.path.isdir(os.path.join(cache_root, seq)):
+        synthetic.generate_sequence(
+            cache_root, sequence=seq, n_frames=n_frames, seed=seed
+        )
+    ds = tum.TumDataset(cache_root, seq)
+    ds.load()
+    entries = ds.entries[:n_frames]
+    grays = np.stack([tum.load_rgb_gray(e.rgb_path) for e in entries])
+    depths = np.stack([tum.load_depth_m(e.depth_path) for e in entries])
+    gts = np.stack([e.gt_t for e in entries])
+    return cache_root, seq, entries, grays, depths, gts
+
+
+def _ate_from_outs(outs, gts):
+    import numpy as np
+
+    from visionx_slam_tpu.eval import trajectory as traj
+
+    tracked = np.asarray(outs.tracked)
+    poses = np.asarray(outs.pose)
+    if tracked.sum() < 3:
+        return None, int(tracked.sum())
+    est = np.asarray(
+        [traj.tcw_to_twc(poses[i])[:3, 3] for i in range(len(tracked)) if tracked[i]]
+    )
+    return traj.ate_rmse(est, gts[tracked]), int(tracked.sum())
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("bench")
     p.add_argument("--quick", action="store_true", help="tiny CPU smoke run")
     p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--runs", type=int, default=5)
     p.add_argument("--extractor", default="jax", choices=["jax", "opencv"])
-    p.add_argument("--pipeline", default="scan", choices=["scan", "host"])
+    p.add_argument("--pipeline", default="offline",
+                   choices=["offline", "scan", "host"])
     p.add_argument("--batch", type=int, default=0,
                    help="batched throughput mode: B sequences in parallel on one chip")
-    p.add_argument("--warmup", type=int, default=12)
     args = p.parse_args(argv)
-
-    if args.batch:
-        return bench_batched(args)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
-    from visionx_slam_tpu.data import synthetic, tum
-    from visionx_slam_tpu.system.system import System
-    from visionx_slam_tpu.utils.config import SystemConfig
+    if args.batch:
+        return bench_batched(args)
+    if args.pipeline == "host" or args.extractor == "opencv":
+        return bench_host(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visionx_slam_tpu.ops.camera import make_camera
+    from visionx_slam_tpu.data import synthetic
+    from visionx_slam_tpu.tracking.offline_pipeline import run_offline_pipeline
+    from visionx_slam_tpu.tracking.scan_pipeline import run_scan_pipeline
+    from visionx_slam_tpu.utils.config import TrackingOptions
 
     n_frames = args.frames or (20 if args.quick else 240)
+    runs = max(2, args.runs if not args.quick else 2)
 
-    cache_root = os.path.join(tempfile.gettempdir(), f"vxs_bench_{n_frames}")
-    seq = "rgbd_dataset_freiburg3_synthetic"
-    if not os.path.isdir(os.path.join(cache_root, seq)):
-        synthetic.generate_sequence(cache_root, sequence=seq, n_frames=n_frames, seed=5)
+    _, _, entries, grays, depths, gts = _load_sequence(n_frames)
+    cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX, synthetic.CY)
+    opts = TrackingOptions()
 
-    out_dir = os.path.join(tempfile.gettempdir(), "vxs_bench_out")
-    cfg = SystemConfig(
-        dataset_dir=cache_root,
-        sequence=seq,
-        output_dir=out_dir,
-        extractor=args.extractor,
-        pipeline=args.pipeline,
-        metrics_jsonl=False,
-    )
-
-    # warmup pass compiles every stage (first TPU compile is slow; cached
-    # after). The scan pipeline compiles per sequence length, so its warmup
-    # must use the full length — run the whole thing once.
-    if args.pipeline == "scan":
-        System(cfg).run()
+    if args.pipeline == "offline":
+        def run_fn(g, d):
+            ms, outs = run_offline_pipeline(cam, g, d, opts)
+            return ms, outs
     else:
-        warm_cfg = SystemConfig(**{**cfg.__dict__, "max_frames": args.warmup,
-                                   "tracking": cfg.tracking})
-        System(warm_cfg).run()
+        def run_fn(g, d):
+            st, outs = run_scan_pipeline(cam, g, d, opts)
+            return st.ms, outs
 
-    system = System(cfg)
+    # ---- end-to-end once (decode + transfer + compute), also the warmup ----
     t0 = time.perf_counter()
-    summary = system.run()
-    wall = time.perf_counter() - t0
+    _, outs = run_fn(grays, depths)
+    _ = float(jnp.sum(outs.n_inliers))
+    e2e_first = time.perf_counter() - t0  # includes compile on cold cache
 
-    # the device loop throughput is the chip metric; host decode overlaps in
-    # deployment (threaded native loader) and is reported separately
-    fps = summary.get("scan_fps", summary["n_frames"] / wall)
+    # ---- device-loop timing: inputs staged in HBM, varied per run ----
+    gd = jax.device_put(jnp.asarray(grays))
+    dd = jax.device_put(jnp.asarray(depths))
+    times = []
+    outs = None
+    for i in range(runs):
+        g_i = gd.at[0, 0, 0].set(jnp.uint8(i + 1))  # bust the run cache
+        g_i.block_until_ready()
+        t0 = time.perf_counter()
+        ms, outs = run_fn(g_i, dd)
+        fence = float(jnp.sum(outs.n_inliers))  # dependent scalar fence
+        times.append(time.perf_counter() - t0)
+        del fence
+    stats = _median_stats(times, n_frames)
+
+    ate, n_tracked = _ate_from_outs(outs, gts)
+    from visionx_slam_tpu.tracking import mapstate as msl
+
+    fps = stats["fps_median"]
     result = {
-        "metric": "frames/sec/chip on synthetic fr1-class RGB-D (640x480, full SLAM)",
-        "value": round(fps, 2),
+        "metric": "frames/sec/chip, full SLAM device loop (640x480 RGB-D, synthetic fr1-class)",
+        "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 500.0, 4),
         "detail": {
-            "n_frames": summary["n_frames"],
-            "n_tracked": summary["n_tracked"],
-            "n_keyframes": summary["n_keyframes"],
-            "n_landmarks": summary["n_landmarks"],
-            "ate_rmse_m": summary.get("ate_rmse"),
+            "n_frames": n_frames,
+            "n_tracked": n_tracked,
+            "n_keyframes": int(msl.n_keyframes(ms)),
+            "n_landmarks": int(msl.n_landmarks(ms)),
+            "ate_rmse_m": ate,
             "extractor": args.extractor,
             "pipeline": args.pipeline,
-            "end_to_end_fps": round(summary["n_frames"] / wall, 2),
-            "decode_time_s": summary.get("decode_time_s"),
+            **stats,
+            "e2e_fps_first_run": round(n_frames / e2e_first, 2),
+            "note": "device loop (inputs in HBM); e2e includes the "
+                    "environment's ~3-30 MB/s tunnel transfer, see PERF.md",
         },
     }
     print(json.dumps(result))
     return 0
 
 
+def bench_host(args) -> int:
+    """Host-pipeline / opencv-extractor variant via the System driver."""
+    from visionx_slam_tpu.system.system import System
+    from visionx_slam_tpu.utils.config import SystemConfig
+
+    n_frames = args.frames or (20 if args.quick else 240)
+    cache_root, seq, *_ = _load_sequence(n_frames)
+    out_dir = os.path.join(tempfile.gettempdir(), "vxs_bench_out")
+    cfg = SystemConfig(
+        dataset_dir=cache_root, sequence=seq, output_dir=out_dir,
+        extractor=args.extractor, pipeline=args.pipeline,
+        metrics_jsonl=False, max_frames=n_frames,
+    )
+    System(cfg).run()  # warmup/compile
+    system = System(cfg)
+    t0 = time.perf_counter()
+    summary = system.run()
+    wall = time.perf_counter() - t0
+    fps = summary.get("scan_fps", summary["n_frames"] / wall)
+    print(json.dumps({
+        "metric": "frames/sec/chip end-to-end via System driver",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 4),
+        "detail": {
+            "n_frames": summary["n_frames"],
+            "n_tracked": summary["n_tracked"],
+            "ate_rmse_m": summary.get("ate_rmse"),
+            "extractor": args.extractor, "pipeline": args.pipeline,
+        },
+    }))
+    return 0
+
+
 def bench_batched(args) -> int:
     """Batched throughput mode (BASELINE config 5 on one chip): B synthetic
-    sequences tracked in parallel by the vmapped scan pipeline; the metric
-    is aggregate frames/sec/chip."""
-    import time as _time
-
+    sequences mapped in parallel; the metric is aggregate frames/sec/chip,
+    measured on the device loop with varied staged inputs. Uses the
+    offline pipeline (every stage already frame-parallel, so the sequence
+    axis vmaps with no per-lane branch divergence); pass --pipeline scan
+    to measure the online scan's vmapped variant instead."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from visionx_slam_tpu.data import synthetic, tum
+    from visionx_slam_tpu.data import synthetic
     from visionx_slam_tpu.eval import trajectory as traj
     from visionx_slam_tpu.ops.camera import make_camera
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        run_offline_pipeline_batched,
+    )
     from visionx_slam_tpu.tracking.scan_pipeline import run_scan_pipeline_batched
     from visionx_slam_tpu.utils.config import TrackingOptions
 
-    import jax
-    import jax.numpy as jnp
-
     B = args.batch
     T = args.frames or (20 if args.quick else 120)
+    runs = max(2, args.runs if not args.quick else 2)
     grays, depths, gts = [], [], []
-    seq = "rgbd_dataset_freiburg3_synthetic"
     for b in range(B):
-        root = os.path.join(tempfile.gettempdir(), f"vxs_benchb_{T}_{b}")
-        if not os.path.isdir(os.path.join(root, seq)):
-            synthetic.generate_sequence(root, sequence=seq, n_frames=T, seed=100 + b)
-        ds = tum.TumDataset(root, seq)
-        ds.load()
-        grays.append(np.stack([tum.load_rgb_gray(e.rgb_path) for e in ds.entries]))
-        depths.append(np.stack([tum.load_depth_m(e.depth_path) for e in ds.entries]))
-        gts.append(np.stack([e.gt_t for e in ds.entries]))
+        _, _, entries, g, d, gt = _load_sequence(T, seed=100 + b)
+        grays.append(g)
+        depths.append(d)
+        gts.append(gt)
     grays = np.stack(grays)
     depths = np.stack(depths)
     cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX, synthetic.CY)
 
     opts = TrackingOptions()
-    st, outs = run_scan_pipeline_batched(cam, grays, depths, opts)
-    _ = float(jnp.sum(outs.n_inliers))
-    best = 1e9
-    for i in range(2):
-        g2 = grays.copy()
-        g2[:, 0, 0, 0] = i + 1
-        t0 = _time.perf_counter()
-        st, outs = run_scan_pipeline_batched(cam, g2, depths, opts)
-        _ = float(jnp.sum(outs.n_inliers))
-        best = min(best, _time.perf_counter() - t0)
+    if args.pipeline == "scan":
+        def run_fn(g, d):
+            st, outs = run_scan_pipeline_batched(cam, g, d, opts)
+            # scan outputs are [T,B,...]; normalize to [B,T,...]
+            return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+    else:
+        def run_fn(g, d):
+            _, outs = run_offline_pipeline_batched(cam, g, d, opts)
+            return outs
 
-    tracked = np.asarray(outs.tracked)  # [T,B]
-    poses = np.asarray(outs.pose)       # [T,B,4,4]
+    outs = run_fn(grays, depths)
+    _ = float(jnp.sum(outs.n_inliers))
+
+    gd = jax.device_put(jnp.asarray(grays))
+    dd = jax.device_put(jnp.asarray(depths))
+    times = []
+    for i in range(runs):
+        g_i = gd.at[:, 0, 0, 0].set(jnp.uint8(i + 1))
+        g_i.block_until_ready()
+        t0 = time.perf_counter()
+        outs = run_fn(g_i, dd)
+        _ = float(jnp.sum(outs.n_inliers))
+        times.append(time.perf_counter() - t0)
+    stats = _median_stats(times, B * T)
+
+    tracked = np.asarray(outs.tracked)  # [B,T]
+    poses = np.asarray(outs.pose)       # [B,T,4,4]
     ates = []
     for b in range(B):
-        sel = tracked[:, b]
+        sel = tracked[b]
         if sel.sum() >= 3:
-            est = np.asarray([traj.tcw_to_twc(poses[t, b])[:3, 3]
+            est = np.asarray([traj.tcw_to_twc(poses[b, t])[:3, 3]
                               for t in range(T) if sel[t]])
             ates.append(traj.ate_rmse(est, gts[b][sel]))
-    fps = B * T / best
-    result = {
+    fps = stats["fps_median"]
+    print(json.dumps({
         "metric": "aggregate frames/sec/chip, batched multi-sequence SLAM (640x480 RGB-D)",
-        "value": round(fps, 2),
+        "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 500.0, 4),
         "detail": {
             "batch": B, "frames_per_seq": T,
+            "pipeline": args.pipeline,
             "per_stream_fps": round(fps / B, 2),
             "tracked_frac": float(tracked.mean()),
             "ate_rmse_m_mean": float(np.mean(ates)) if ates else None,
+            **stats,
         },
-    }
-    print(json.dumps(result))
+    }))
     return 0
 
 

@@ -12,7 +12,7 @@ from visionx_slam_tpu.tracking import mapstate as msl
 
 CAM = make_camera(525.0, 525.0, 319.5, 239.5)
 K_CAP, L_CAP, N = 8, 512, 128
-OPTS = GlobalBAOptions(max_iterations=8, chunk=256)
+OPTS = GlobalBAOptions(max_iterations=8, cg_iterations=30)
 
 
 def project_np(R, t, X):

@@ -1,0 +1,95 @@
+"""Offline batched pipeline: accuracy, keyframe/landmark structure, and
+batched-mode consistency (the multi-sequence throughput path, BASELINE
+config 5)."""
+
+import numpy as np
+import pytest
+
+from visionx_slam_tpu.data import synthetic, tum
+from visionx_slam_tpu.eval import trajectory as traj
+from visionx_slam_tpu.ops.camera import make_camera
+from visionx_slam_tpu.tracking.offline_pipeline import (
+    run_offline_pipeline,
+    run_offline_pipeline_batched,
+)
+from visionx_slam_tpu.utils.config import TrackingOptions
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("offline"))
+    synthetic.generate_sequence(root, n_frames=16, seed=7)
+    ds = tum.TumDataset(root, "rgbd_dataset_freiburg3_synthetic")
+    assert ds.load()
+    grays = np.stack([tum.load_rgb_gray(e.rgb_path) for e in ds.entries])
+    depths = np.stack([tum.load_depth_m(e.depth_path) for e in ds.entries])
+    cam = make_camera(ds.intrinsics.fx, ds.intrinsics.fy,
+                      ds.intrinsics.cx, ds.intrinsics.cy)
+    return ds, grays, depths, cam
+
+
+def test_offline_tracks_and_is_accurate(seq):
+    ds, grays, depths, cam = seq
+    ms, out = run_offline_pipeline(
+        cam, grays, depths, TrackingOptions(), kf_capacity=16,
+        refine_iterations=3,
+    )
+    tracked = np.asarray(out.tracked)
+    assert tracked.all(), tracked
+    assert int(out.n_keyframes) >= 3
+    assert int(out.n_landmarks) > 1000
+
+    poses = np.asarray(out.pose)
+    gt = np.asarray([e.gt_t for e, tr in zip(ds.entries, tracked) if tr])
+    est = np.asarray(
+        [traj.tcw_to_twc(poses[i])[:3, 3] for i in range(len(grays)) if tracked[i]]
+    )
+    ate = traj.ate_rmse(est, gt)
+    assert ate < 0.02, ate
+
+    # map structure: keyframe links point at alive landmarks; observation
+    # counts consistent with the link table
+    feat_lm = np.asarray(ms.kf_feat_lm)
+    alive = np.asarray(ms.lm_alive)
+    linked = feat_lm[feat_lm >= 0]
+    assert alive[linked].all()
+    counts = np.bincount(linked, minlength=alive.shape[0])
+    assert (np.asarray(ms.lm_obs)[: len(counts)] == counts).all()
+
+
+def test_offline_batched_matches_single(seq):
+    """vmapping the offline pipeline over sequences must not change any
+    per-sequence result (no cross-lane coupling)."""
+    ds, grays, depths, cam = seq
+    opts = TrackingOptions()
+    kw = dict(kf_capacity=16, refine_iterations=2)
+    ms1, o1 = run_offline_pipeline(cam, grays, depths, opts, **kw)
+
+    g2 = np.stack([grays, grays[::-1].copy()])
+    d2 = np.stack([depths, depths[::-1].copy()])
+    msb, ob = run_offline_pipeline_batched(cam, g2, d2, opts, **kw)
+
+    np.testing.assert_allclose(
+        np.asarray(ob.pose)[0], np.asarray(o1.pose), rtol=0, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ob.tracked)[0], np.asarray(o1.tracked)
+    )
+    assert int(np.asarray(ob.n_keyframes)[0]) == int(o1.n_keyframes)
+
+
+def test_offline_via_system(seq, tmp_path):
+    """System pipeline=offline end-to-end: outputs written, metrics sane."""
+    ds, grays, depths, cam = seq
+    from visionx_slam_tpu.system.system import System
+    from visionx_slam_tpu.utils.config import SystemConfig
+
+    cfg = SystemConfig(
+        dataset_dir=ds.dataset_dir, sequence=ds.sequence,
+        output_dir=str(tmp_path / "out"), pipeline="offline",
+        metrics_jsonl=False,
+    )
+    summary = System(cfg).run()
+    assert summary["n_tracked"] == 16
+    assert summary["ate_rmse"] < 0.02
+    assert "offline_pipeline" in summary["stage_timings"]

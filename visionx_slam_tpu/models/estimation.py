@@ -333,6 +333,31 @@ def _dlt_pnp(X: jnp.ndarray, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return R, t_full
 
 
+def _kabsch3(P: jnp.ndarray, Q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form rigid transform from 3 exact 3D-3D correspondences:
+    R P_i + t = Q_i. Orthonormal-triad construction — no SVD/eigh (batched
+    tiny decompositions schedule pathologically on TPU; this is a handful
+    of VPU ops). Degenerate (collinear) triples produce garbage poses that
+    simply lose the RANSAC consensus vote.
+
+    P, Q: [3,3] points (rows). Returns (R [3,3], t [3]).
+    """
+
+    def triad(X):
+        e1 = X[1] - X[0]
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+        n = jnp.cross(e1, X[2] - X[0])
+        e3 = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=1)  # columns
+
+    Bp = triad(P)
+    Bq = triad(Q)
+    R = Bq @ Bp.T
+    t = jnp.mean(Q, axis=0) - R @ jnp.mean(P, axis=0)
+    return R, t
+
+
 def _reproj_err_px(cam: CameraParams, R, t, X, px):
     pc = X @ R.T + t
     z = jnp.maximum(pc[..., 2], 1e-6)
@@ -417,6 +442,7 @@ def pnp_ransac(
     n_hypotheses: int = 64,
     refine_iters: int = 6,
     init_pose: Pose | None = None,
+    depth_curr: jnp.ndarray | None = None,  # [N] current-frame depth (m)
 ) -> PnPResult:
     """PnP RANSAC with final GN refinement on inliers.
 
@@ -429,19 +455,34 @@ def pnp_ransac(
     raw budget (validated against cv2.solvePnPRansac in
     tests/test_estimation.py).
 
-    Minimal solver: 6-point DLT (TPU-friendly batched eigh) followed by a
-    short calibrated GN polish on the sample. The projective DLT is
-    degenerate on coplanar samples, but the calibrated 6-DoF pose is NOT —
-    the polish recovers planar-scene hypotheses the raw DLT cannot
-    (planar-heavy frames are the norm in indoor RGB-D). When ``init_pose``
-    is given (the tracker's previous pose), one extra hypothesis runs
-    robust IRLS from it over all correspondences — a motion-prior
-    hypothesis that competes in the same consensus scoring.
+    Minimal solver, two variants chosen statically:
+
+    - ``depth_curr`` given (RGB-D): 3-point rigid Procrustes — the sampled
+      world points against the current frame's depth-backprojected camera
+      points, closed form (``_kabsch3``), NO eigh. Scoring stays pure-2D
+      reprojection over ALL correspondences, so depth holes/noise only
+      restrict sampling, never the consensus. Sampling prefers points with
+      valid depth.
+    - no depth (monocular): 6-point DLT (TPU-friendly batched eigh). The
+      projective DLT is degenerate on coplanar samples, but the calibrated
+      6-DoF pose is NOT — the GN polish recovers planar-scene hypotheses
+      the raw DLT cannot (planar-heavy frames are the norm indoors).
+
+    When ``init_pose`` is given (the tracker's previous pose), one extra
+    hypothesis runs robust IRLS from it over all correspondences — a
+    motion-prior hypothesis competing in the same consensus scoring.
     """
     x_norm = _normalize_px(cam, pts2d)
-    idx = sample_minimal_sets(key, valid, n_hypotheses, 6)
+    if depth_curr is not None:
+        from ..ops.camera import backproject
 
-    Rs, ts = jax.vmap(lambda ii: _dlt_pnp(pts3d[ii], x_norm[ii]))(idx)
+        good_d = (depth_curr > 0.1) & (depth_curr < 10.0) & valid
+        idx = sample_minimal_sets(key, good_d, n_hypotheses, 3)
+        q_cam = backproject(cam, pts2d, depth_curr)  # [N,3] camera points
+        Rs, ts = jax.vmap(lambda ii: _kabsch3(pts3d[ii], q_cam[ii]))(idx)
+    else:
+        idx = sample_minimal_sets(key, valid, n_hypotheses, 6)
+        Rs, ts = jax.vmap(lambda ii: _dlt_pnp(pts3d[ii], x_norm[ii]))(idx)
     finite_h = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
         jnp.isfinite(ts), axis=1
     )

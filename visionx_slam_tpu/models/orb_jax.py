@@ -200,6 +200,7 @@ def _extract_level(
     fast_threshold: float,
     border: int,
     use_pallas: bool = False,
+    profile_stage: int = 3,  # 1=detect+topk, 2=+patches/orientation, 3=full
 ):
     """One pyramid level -> (xy [q,2] level coords, resp [q], desc [q,32],
     valid [q])."""
@@ -241,6 +242,11 @@ def _extract_level(
     xx = cx * CELL + off % CELL
     valid = jnp.isfinite(top)
 
+    xy0 = jnp.stack([xx.astype(jnp.float32), yy.astype(jnp.float32)], -1)
+    if profile_stage <= 1:  # detector + top-K only (profiling)
+        return xy0, jnp.where(valid, top, 0.0), jnp.zeros(
+            (quota, 32), jnp.uint8), valid
+
     # ---- one patch extraction feeds both orientation and BRIEF ----
     # (full-image fancy gathers serialize on TPU; one windowed gather per
     # keypoint from the blurred image feeds everything downstream)
@@ -254,6 +260,9 @@ def _extract_level(
 
     patches = jax.vmap(patch)(yy, xx)          # [q,S,S]
     angles = _orientation(patches)
+    if profile_stage <= 2:  # + patches/orientation, no BRIEF (profiling)
+        return xy0, jnp.where(valid, top, 0.0) + 0 * angles, jnp.zeros(
+            (quota, 32), jnp.uint8), valid
 
     # ---- steered BRIEF sampled inside the patch (take_along_axis keeps the
     # gather batched per keypoint; the full-image fancy gather serialized) ----
@@ -283,7 +292,8 @@ def _extract_level(
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "scale_factor", "n_levels", "n_slots",
-                     "fast_threshold", "border", "use_pallas"),
+                     "fast_threshold", "border", "use_pallas",
+                     "profile_stage"),
 )
 def orb_extract(
     gray_u8: jnp.ndarray,  # [H,W] uint8
@@ -294,6 +304,7 @@ def orb_extract(
     fast_threshold: float = 20.0,
     border: int = 31,
     use_pallas: int = -1,  # -1 auto (TPU only), 0 off, 1 on
+    profile_stage: int = 3,  # profiling knob: 1=detect, 2=+orient, 3=full
 ):
     """Full ORB: returns (px [S,2] level-0 pixels, resp [S], desc [S,32],
     valid [S]) with S = n_slots; defaults mirror orb_extractor.h:11-13."""
@@ -321,7 +332,8 @@ def orb_extract(
         if lvl > 0:
             img = jax.image.resize(img0, (h, w), method="linear")
         xy, resp, desc, valid = _extract_level(
-            img, quotas[lvl], fast_threshold, border, use_pallas=bool(use_pallas)
+            img, quotas[lvl], fast_threshold, border,
+            use_pallas=bool(use_pallas), profile_stage=profile_stage,
         )
         all_xy.append(xy * s)  # scale coords back to level 0
         all_resp.append(resp)

@@ -101,14 +101,19 @@ def batched_slam_step(mesh: Mesh, cam: CameraParams, **step_kw):
         }
         return mss2, poses, fleet
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
 
     sharded = shard_map(
         _step,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P()),
-        check_rep=False,
+        **kw,
     )
     return jax.jit(sharded)
 
@@ -119,3 +124,64 @@ def stack_states(states: list[MapState]) -> MapState:
 
 def stack_obs(obs: list[FrameObs]) -> FrameObs:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *obs)
+
+
+def make_correlated_fleet(
+    cam: CameraParams, n_seq: int, n_features: int = 64, seed: int = 0,
+    kf_capacity: int = 8, lm_capacity: int = 256,
+):
+    """Per-sequence synthetic scenes with GEOMETRICALLY CONSISTENT second
+    frames: each lane's current observation is the keyframe's landmarks
+    re-projected under a known small motion with IDENTICAL descriptors, so
+    matching and PnP genuinely succeed on every lane (fleet inliers > 0 —
+    a dry run over iid noise only proves compilation).
+
+    Returns (states [D,...], obs [D,...], frame_ids [D], keys [D],
+    gt_poses: list of (R, t) per lane).
+    """
+    import numpy as np
+
+    from ..ops.camera import backproject, project_pinhole
+    from ..ops.se3 import Pose, identity_pose, matrix_to_quat
+
+    N = n_features
+    states, obss, gts = [], [], []
+    for i in range(n_seq):
+        rng = np.random.default_rng(seed + 1000 * i)
+        ms = msl.empty_map(kf_capacity=kf_capacity, lm_capacity=lm_capacity,
+                           n_features=N)
+        # keyframe at identity observing a random 3D cloud in view
+        px = jnp.asarray(
+            np.stack([rng.uniform(4, 2 * cam.cx - 4, N),
+                      rng.uniform(4, 2 * cam.cy - 4, N)], -1), jnp.float32)
+        depth = jnp.asarray(rng.uniform(1.0, 4.0, N), jnp.float32)
+        desc = jnp.asarray(rng.integers(0, 256, (N, 32)), jnp.uint8)
+        valid = jnp.ones((N,), bool)
+        ms, slot = msl.insert_keyframe(
+            ms, jnp.asarray(0), identity_pose(), px, desc, valid,
+            jnp.full((N,), FREE, jnp.int32), depth,
+        )
+        ms = stages.depth_landmarks(ms, cam, slot, identity_pose())
+
+        # second frame: small known motion; observations = exact
+        # projections of the SAME points with the SAME descriptors
+        angle = 0.01 * (1 + i % 3)
+        ca, sa = np.cos(angle), np.sin(angle)
+        R = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float32)
+        t = np.array([0.02 * (i % 4 + 1), -0.01, 0.015], np.float32)
+        pose1 = Pose(matrix_to_quat(jnp.asarray(R)), jnp.asarray(t))
+        pw = backproject(cam, px, depth)  # world (kf at identity)
+        uv, ok, pc = project_pinhole(cam, pose1, pw)
+        obss.append(FrameObs(
+            px=uv.astype(jnp.float32),
+            response=jnp.zeros((N,), jnp.float32),
+            desc=desc,
+            valid=valid & ok,
+            depth=jnp.where(ok, pc[..., 2], 0.0).astype(jnp.float32),
+        ))
+        states.append(ms)
+        gts.append((R, t))
+
+    fids = jnp.ones((n_seq,), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_seq)
+    return (stack_states(states), stack_obs(obss), fids, keys, gts)

@@ -58,6 +58,10 @@ class System:
         self.timer = StageTimer()
         self._prefetcher = None  # live NativePrefetcher (for decode stats)
         self._frame0 = 0         # id offset when resuming from a snapshot
+        # archived keyframes harvested at chunk boundaries of the scan path
+        # (the 64-slot ring evicts; the archive keeps EVERY keyframe so
+        # --run_global_ba can cover the full map, BASELINE config 4)
+        self._archive: dict[int, dict] = {}
         if cfg.resume_from and cfg.pipeline != "scan":
             raise ValueError("--resume_from requires --pipeline scan")
 
@@ -85,7 +89,61 @@ class System:
     def _dispatch(self, entries) -> dict:
         if self.cfg.pipeline == "scan":
             return self._run_scan(entries)
+        if self.cfg.pipeline == "offline":
+            return self._run_offline(entries)
         return self._run_host(entries)
+
+    # ------------------------------------------------------------------
+    def _run_offline(self, entries) -> dict:
+        """Batched offline mapping (tracking/offline_pipeline.py): every
+        stage runs as frame-parallel batches; highest throughput, RGB-D
+        only. See the module docstring for the design."""
+        import jax.numpy as jnp
+
+        from ..tracking.frontend import FrameResult
+        from ..tracking.offline_pipeline import run_offline_pipeline
+
+        cfg = self.cfg
+        with self.timer.stage("decode"):
+            frames = list(self._frames(entries))
+        grays = np.stack([g for g, _ in frames])
+        depths = np.stack([d for _, d in frames])
+
+        t0 = time.perf_counter()
+        with self.timer.stage("offline_pipeline"):
+            ms, outs = run_offline_pipeline(
+                self.cam, grays, depths, cfg.tracking,
+                orb_kwargs={"n_features": cfg.n_features},
+            )
+            _ = float(jnp.sum(outs.n_inliers))
+        t_scan = time.perf_counter() - t0
+        self.tracker.ms = ms
+
+        tracked = np.asarray(outs.tracked)
+        poses = np.asarray(outs.pose)
+        self.results = []
+        for i, e in enumerate(entries):
+            self.results.append(
+                FrameResult(
+                    frame_id=i,
+                    timestamp=e.timestamp,
+                    state="TRACKING_GOOD" if tracked[i] else "LOST",
+                    pose_T_cw=poses[i] if tracked[i] else None,
+                    n_matches=int(np.asarray(outs.n_matches)[i]),
+                    n_inliers=int(np.asarray(outs.n_inliers)[i]),
+                    parallax=float(np.asarray(outs.parallax)[i]),
+                    is_keyframe=bool(np.asarray(outs.is_keyframe)[i]),
+                    n_keyframes=int(outs.n_keyframes),
+                    n_landmarks=int(outs.n_landmarks),
+                )
+            )
+        summary = self._write_outputs(entries, t_scan)
+        summary["scan_time_s"] = t_scan
+        summary["scan_fps"] = len(entries) / max(t_scan, 1e-9)
+        summary["stage_timings"] = self.timer.summary()
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        return summary
 
     # ------------------------------------------------------------------
     def _run_host(self, entries) -> dict:
@@ -138,7 +196,9 @@ class System:
         # streaming: decode chunk k+1 (C++ prefetch threads, no GIL) while
         # the device scans chunk k — the pipeline-parallelism analog of the
         # reference's producer thread (SURVEY.md §2.2 row "PP")
-        CHUNK = 64
+        # chunk must not exceed the keyframe ring, or the archive harvest
+        # at chunk boundaries could miss a created-then-evicted keyframe
+        CHUNK = min(64, cfg.kf_capacity) if cfg.run_global_ba else 64
         st = None
         frame0 = 0
         if cfg.resume_from:
@@ -164,6 +224,7 @@ class System:
             with self.timer.stage("scan_dispatch"):
                 st_new, outs = run_scan_pipeline(
                     self.cam, g, d, cfg.tracking,
+                    kf_capacity=cfg.kf_capacity,
                     orb_kwargs={"n_features": cfg.n_features},
                     st0=st, frame0=frame0,
                 )
@@ -172,6 +233,11 @@ class System:
             chunk_outs.append((outs, len(buf_g)))
             buf_g.clear()
             buf_d.clear()
+            if cfg.run_global_ba:
+                # chunk <= ring capacity, so a boundary harvest sees every
+                # keyframe before eviction (forces a sync; only when the
+                # full-map GBA was requested)
+                self._harvest_keyframes(st.ms)
 
         t0 = time.perf_counter()
         for gray, depth in self._frames(entries):
@@ -301,21 +367,51 @@ class System:
         return summary
 
     # ------------------------------------------------------------------
+    def _harvest_keyframes(self, ms):
+        """Copy any not-yet-archived alive keyframes to the host archive.
+        Called at chunk boundaries of the scan path (before ring eviction
+        can drop them) when the full-map GBA is requested."""
+        ids = np.asarray(ms.kf_id)
+        for slot in np.nonzero(ids >= 0)[0]:
+            fid = int(ids[slot])
+            if fid in self._archive:
+                continue
+            self._archive[fid] = {
+                "q": np.asarray(ms.kf_q[slot]),
+                "t": np.asarray(ms.kf_t[slot]),
+                "px": np.asarray(ms.kf_px[slot]).T,   # [N,2]
+                "desc": np.asarray(ms.kf_desc[slot]),
+                "fvalid": np.asarray(ms.kf_fvalid[slot]),
+                "depth": np.asarray(ms.kf_depth[slot]),
+            }
+
+    # ------------------------------------------------------------------
     def _run_global_ba(self) -> dict:
         """Full-map Schur-complement BA (BASELINE config 4); refines the
-        keyframe ring + landmark table in place and dumps the refined
-        keyframe trajectory."""
+        map in place and dumps the refined keyframe trajectory. When the
+        scan path archived ring-evicted keyframes, the solve covers the
+        UNION of every keyframe ever created (the reference keeps all
+        keyframes, map.h:30-33 — this matches that reach offline)."""
         import jax.numpy as jnp
 
-        from ..models.global_ba import GlobalBAOptions, global_ba
+        from ..models.global_ba import GlobalBAOptions, global_ba, map_reproj_error
         from ..ops.se3 import se3_matrix
-        from ..tracking.mapstate import MapState  # noqa: F401
+        from ..tracking import mapstate as msl_  # noqa: F401
 
         ms = self.tracker.ms
+        extra = {}
+        if len(self._archive) > int(msl.n_keyframes(ms)):
+            self._harvest_keyframes(ms)  # catch the final chunk
+            ms = self._archive_union_map()
+            extra["archived_keyframes"] = len(self._archive)
+        err0, n_obs = map_reproj_error(ms, self.cam)
         ms2, stats = global_ba(
             ms, self.cam,
             GlobalBAOptions(max_iterations=self.cfg.global_ba_iterations),
         )
+        err1, _ = map_reproj_error(ms2, self.cam)
+        extra["mean_reproj_before_px"] = float(err0)
+        extra["mean_reproj_after_px"] = float(err1)
         self.tracker.ms = ms2
 
         kf_alive = np.asarray(msl.kf_alive(ms2))
@@ -337,7 +433,45 @@ class System:
             "final_cost": float(stats.final_cost),
             "total_obs": int(stats.total_obs),
             "keyframe_trajectory": path,
+            **extra,
         }
+
+    # ------------------------------------------------------------------
+    def _archive_union_map(self):
+        """Rebuild a MapState over EVERY archived keyframe (ids ascending)
+        via the batched keyframe-map builder shared with the offline
+        pipeline: depth landmarks + consecutive-pair observation links."""
+        import jax.numpy as jnp
+
+        from ..tracking.offline_pipeline import build_keyframe_map
+
+        fids = sorted(self._archive)
+        K = max(8, 1 << (len(fids) - 1).bit_length())  # pad to pow2 slots
+        a = self._archive
+        N = a[fids[0]]["px"].shape[0]
+
+        def pad(arrs, fill=0.0, dtype=np.float32):
+            out = np.full((K,) + arrs[0].shape, fill, dtype)
+            out[: len(arrs)] = np.stack(arrs)
+            return out
+
+        kf_q = pad([a[f]["q"] for f in fids])
+        kf_q[len(fids):, 0] = 1.0
+        kf_t = pad([a[f]["t"] for f in fids])
+        kf_id = np.full((K,), -1, np.int32)
+        kf_id[: len(fids)] = fids
+        kf_px = pad([a[f]["px"] for f in fids])
+        kf_desc = pad([a[f]["desc"] for f in fids], 0, np.uint8)
+        kf_fvalid = pad([a[f]["fvalid"] for f in fids], False, bool)
+        kf_depth = pad([a[f]["depth"] for f in fids])
+
+        lm_capacity = 1 << max(17, (K * N - 1).bit_length())
+        return build_keyframe_map(
+            self.cam, self.cfg.tracking,
+            jnp.asarray(kf_q), jnp.asarray(kf_t), jnp.asarray(kf_id),
+            jnp.asarray(kf_px), jnp.asarray(kf_desc),
+            jnp.asarray(kf_fvalid), jnp.asarray(kf_depth), lm_capacity,
+        )
 
     # ------------------------------------------------------------------
     def save_snapshot(self, path: str):

@@ -305,6 +305,7 @@ class Tracker:
         sol = pnp_ransac(
             self.cam, pw, obs.px[m.idx], valid, self._next_key(),
             self.options.max_reproj_error, init_pose=identity_pose(),
+            depth_curr=obs.depth[m.idx] if self.options.pnp_use_depth else None,
         )
         inliers = int(sol.n_inliers)
         if not bool(sol.ok) or inliers < self.options.min_inliers:
@@ -342,6 +343,7 @@ class Tracker:
             self.cam, pts3d, pts2d, valid, self._next_key(),
             self.options.max_reproj_error,
             init_pose=self.current_pose,  # motion-prior hypothesis
+            depth_curr=obs.depth[m.idx] if self.options.pnp_use_depth else None,
         )
         inliers = int(sol.n_inliers)
         if not bool(sol.ok) or inliers < self.options.min_inliers:

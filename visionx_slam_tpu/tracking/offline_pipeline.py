@@ -1,0 +1,581 @@
+"""Offline high-throughput SLAM: the whole sequence as BATCHED stages.
+
+The online pipeline (``scan_pipeline.py``) reproduces the reference's
+frame-sequential state machine (core/frontend/tracking.cpp) as a fused
+``lax.scan`` — correct, but its throughput is capped by the serial chain:
+every frame's extraction waits for the previous frame's BA. This module is
+the TPU-first restructuring for offline/batched mapping (BASELINE configs
+4 and 5): the sequential dependency is broken into embarrassingly parallel
+stages plus one associative prefix composition, so the MXU sees large
+batches instead of one frame at a time.
+
+Stages (all inside ONE jit):
+
+1. **Extract** — ORB over ALL frames, vmapped in fixed-size chunks
+   (``lax.map`` over [T/C, C, H, W] bounds peak memory); the per-level
+   FAST/Harris/BRIEF work that dominates the online frame budget becomes
+   C-wide batches.
+2. **Match** — consecutive-pair Hamming GEMMs, batched over pairs.
+3. **Relative pose** — RGB-D PnP RANSAC per pair (3-point closed-form
+   Procrustes hypotheses + GN polish, see estimation.pnp_ransac), batched
+   over ALL pairs at once.
+4. **Compose** — absolute poses by ``associative_scan`` over SE(3): the
+   classic parallel-prefix treatment of a serial recurrence
+   (T_cw[i+1] = T_rel[i] ∘ T_cw[i]).
+5. **Keyframes** — the reference keyframe policy (tracking.cpp:562-575)
+   as a scalar ``lax.scan`` over per-pair stats (inliers, accumulated
+   parallax, frame gap): microseconds, not a bottleneck.
+6. **Map build** — keyframes inserted in ONE batch (no ring sequencing)
+   with depth-backprojected landmarks (tracking.cpp:586-650 semantics),
+   allocation contiguous and scatter-sorted.
+7. **Refine** — global Schur-complement BA (models/global_ba.py) over the
+   built map; non-keyframe poses are re-anchored to their preceding
+   keyframe's refined pose (relative pose preserved).
+
+Scope: RGB-D only (relative pose needs depth); monocular sequences use
+the online pipeline. Tracking failure on a pair freezes that pair's
+relative pose at identity (flagged untracked) rather than re-initializing
+— the right behavior for offline mapping where later pairs are
+independent anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import matching
+from ..models.estimation import pnp_ransac
+from ..models.global_ba import GlobalBAOptions, global_ba
+from ..models.orb_jax import orb_extract
+from ..ops.camera import CameraParams, backproject
+from ..ops.se3 import (
+    Pose,
+    identity_pose,
+    se3_apply,
+    se3_compose,
+    se3_inverse,
+    se3_matrix,
+)
+from ..utils.config import TrackingOptions
+from . import mapstate as msl
+from . import stages
+from .mapstate import FREE, MapState
+
+
+class OfflineOut(NamedTuple):
+    pose: jnp.ndarray         # [T,4,4] T_cw
+    tracked: jnp.ndarray      # [T] bool
+    n_matches: jnp.ndarray    # [T] int32 (vs previous frame; 0 for frame 0)
+    n_inliers: jnp.ndarray    # [T] int32
+    parallax: jnp.ndarray     # [T] float32 (vs previous frame)
+    is_keyframe: jnp.ndarray  # [T] bool
+    n_keyframes: jnp.ndarray  # [] int32
+    n_landmarks: jnp.ndarray  # [] int32
+
+
+def _pad_to(x: jnp.ndarray, n: int):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+
+
+def build_offline_pipeline(
+    cam_static_placeholder,
+    opts: TrackingOptions,
+    *,
+    n_features_cap: int = 1024,
+    kf_capacity: int = 128,
+    lm_capacity: int = 1 << 17,
+    orb_kwargs: dict | None = None,
+    extract_chunk: int = 8,
+    pnp_hypotheses: int = 32,
+    refine_iterations: int = 4,
+):
+    """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
+    OfflineOut). All sizes static; jit-compatible and vmap-able over a
+    leading sequence axis."""
+    orb_kwargs = dict(orb_kwargs or {})
+    orb_kwargs.setdefault("n_slots", n_features_cap)
+    N = n_features_cap
+    K = kf_capacity
+    C = extract_chunk
+
+    def run(cam: CameraParams, images_u8, depths_m):
+        T = images_u8.shape[0]
+        H, W = images_u8.shape[1:]
+
+        # ---- 1. extraction, chunked vmap ----
+        Tc = -(-T // C) * C
+        imgs = _pad_to(images_u8, Tc).reshape(Tc // C, C, H, W)
+        deps = _pad_to(depths_m, Tc).reshape(Tc // C, C, H, W)
+
+        def extract_chunk_fn(args):
+            g, d = args
+            px, resp, desc, valid = jax.vmap(
+                lambda im: orb_extract(im, **orb_kwargs)
+            )(g)
+            dfeat = jax.vmap(stages.sample_depth_image)(d, px, valid)
+            return px, resp, desc, valid, dfeat
+
+        px, resp, desc, valid, dfeat = jax.lax.map(
+            extract_chunk_fn, (imgs, deps)
+        )
+        px = px.reshape(Tc, N, 2)[:T]
+        desc = desc.reshape(Tc, N, 32)[:T]
+        valid = valid.reshape(Tc, N)[:T]
+        dfeat = dfeat.reshape(Tc, N)[:T]
+
+        # ---- 2. consecutive-pair matching (batched MXU GEMMs) ----
+        m = jax.vmap(matching.match_frames)(
+            desc[:-1], valid[:-1], desc[1:], valid[1:]
+        )  # MatchResult of [T-1, N]
+        n_matches = jnp.sum(m.valid, axis=1).astype(jnp.int32)  # [T-1]
+
+        # ---- 3. relative pose per pair (batched RGB-D PnP) ----
+        good_d = (dfeat >= stages.MIN_DEPTH) & (dfeat <= stages.MAX_DEPTH)
+        pc_prev = jax.vmap(lambda p, d: backproject(cam, p, d))(
+            px[:-1], dfeat[:-1]
+        )  # [T-1,N,3] points in the PREVIOUS frame's camera
+        px_next = jnp.take_along_axis(px[1:], m.idx[..., None], axis=1)
+        d_next = jnp.take_along_axis(dfeat[1:], m.idx, axis=1)
+        pvalid = m.valid & good_d[:-1]
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(29), jnp.arange(T - 1)
+        )
+
+        def pair_pose(pts3d, pts2d, vv, key, dcur):
+            sol = pnp_ransac(
+                cam, pts3d, pts2d, vv, key, opts.max_reproj_error,
+                n_hypotheses=pnp_hypotheses, refine_iters=4,
+                init_pose=identity_pose(), depth_curr=dcur,
+            )
+            ok = (
+                sol.ok
+                & (sol.n_inliers >= opts.min_inliers)
+                & jnp.all(jnp.isfinite(sol.pose.q))
+                & jnp.all(jnp.isfinite(sol.pose.t))
+            )
+            return sol.pose, sol.n_inliers, ok
+
+        rel, n_inl, ok = jax.vmap(pair_pose)(
+            pc_prev, px_next, pvalid, keys, d_next
+        )  # rel = T_{i+1 <- i}
+        ident = identity_pose()
+        rel = Pose(
+            jnp.where(ok[:, None], rel.q, ident.q[None]),
+            jnp.where(ok[:, None], rel.t, ident.t[None]),
+        )
+        parallax = jax.vmap(stages.parallax_px)(px[:-1], px[1:], m)  # [T-1]
+
+        # ---- 4. absolute poses by parallel prefix over SE(3) ----
+        # T_cw[i+1] = rel[i] ∘ rel[i-1] ∘ ... ∘ rel[0]; combine(a, b) = b∘a
+        prefix = jax.lax.associative_scan(
+            lambda a, b: se3_compose(b, a), rel
+        )
+        # re-normalize quaternions (compounded float error over T)
+        qn = prefix.q / jnp.maximum(
+            jnp.linalg.norm(prefix.q, axis=-1, keepdims=True), 1e-12
+        )
+        poses = Pose(
+            jnp.concatenate([ident.q[None], qn]),
+            jnp.concatenate([ident.t[None], prefix.t]),
+        )  # [T]
+        tracked = jnp.concatenate([jnp.ones((1,), bool), ok])
+
+        # ---- 5. keyframe policy (scalar scan; tracking.cpp:562-575) ----
+        def kf_step(carry, x):
+            acc_par, last_kf, i = carry
+            inl_i, par_i, ok_i = x
+            acc = acc_par + par_i
+            need = (
+                ok_i
+                & (inl_i >= opts.min_keyframe_inliers)
+                & (acc >= opts.min_parallax)
+                & ((i - last_kf) >= opts.min_keyframe_gap)
+            )
+            return (
+                jnp.where(need, 0.0, acc),
+                jnp.where(need, i, last_kf),
+                i + 1,
+            ), need
+
+        _, need_kf = jax.lax.scan(
+            kf_step,
+            (jnp.float32(0), jnp.int32(0), jnp.int32(1)),
+            (n_inl, parallax, ok),
+        )
+        is_kf = jnp.concatenate([jnp.ones((1,), bool), need_kf])  # frame 0 = KF
+
+        # ---- 6. map build: the LAST K keyframes, one batched insert ----
+        frame_ids = jnp.arange(T, dtype=jnp.int32)
+        kf_rank = jnp.where(is_kf, frame_ids, -1)
+        k_sel = min(K, T)                             # top_k needs k <= T
+        sel = jax.lax.top_k(kf_rank, k_sel)[0]        # newest kf ids, desc
+        sel = sel[::-1]                               # ascending
+        if k_sel < K:                                 # pad dead slots at front
+            sel = jnp.concatenate(
+                [jnp.full((K - k_sel,), -1, jnp.int32), sel]
+            )
+        kvalid = sel >= 0
+        slot_frame = jnp.maximum(sel, 0)              # [K] frame index
+
+        kf_px = px[slot_frame]                        # [K,N,2]
+        kf_desc = desc[slot_frame]
+        kf_fvalid = valid[slot_frame] & kvalid[:, None]
+        kf_depth = dfeat[slot_frame]
+
+        # ---- 5b. keyframe chain: re-estimate relative poses directly
+        # between consecutive keyframes (larger baselines -> better
+        # per-hop SNR, and ~gap x fewer hops to compound than the
+        # frame-to-frame VO chain), falling back to the VO-derived
+        # relative pose where the direct estimate fails ----
+        mk = jax.vmap(matching.match_frames)(
+            kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:]
+        )
+        good_dk = (kf_depth >= stages.MIN_DEPTH) & (kf_depth <= stages.MAX_DEPTH)
+        pc_kf = jax.vmap(lambda p, d: backproject(cam, p, d))(
+            kf_px[:-1], kf_depth[:-1]
+        )
+        px_kn = jnp.take_along_axis(kf_px[1:], mk.idx[..., None], axis=1)
+        d_kn = jnp.take_along_axis(kf_depth[1:], mk.idx, axis=1)
+        keys_k = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(31), jnp.arange(K - 1)
+        )
+        rel_k, _, ok_k = jax.vmap(pair_pose)(
+            pc_kf, px_kn, mk.valid & good_dk[:-1], keys_k, d_kn
+        )
+        vo_kf_pose = Pose(poses.q[slot_frame], poses.t[slot_frame])  # [K]
+        vo_rel = jax.vmap(
+            lambda a_q, a_t, b_q, b_t: se3_compose(
+                Pose(b_q, b_t), se3_inverse(Pose(a_q, a_t)))
+        )(vo_kf_pose.q[:-1], vo_kf_pose.t[:-1],
+          vo_kf_pose.q[1:], vo_kf_pose.t[1:])
+        use_k = ok_k & kvalid[1:] & kvalid[:-1]
+        rel_k = Pose(
+            jnp.where(use_k[:, None], rel_k.q, vo_rel.q),
+            jnp.where(use_k[:, None], rel_k.t, vo_rel.t),
+        )
+        # chain elements: lane 0 carries the first slot's VO pose (the
+        # anchor — identity unless the oldest keyframes were evicted),
+        # lane j>0 the relative pose slot j-1 -> slot j
+        chain = Pose(
+            jnp.concatenate([vo_kf_pose.q[:1], rel_k.q]),
+            jnp.concatenate([vo_kf_pose.t[:1], rel_k.t]),
+        )
+        kf_abs = jax.lax.associative_scan(
+            lambda a, b: se3_compose(b, a), chain
+        )
+        kf_q = kf_abs.q / jnp.maximum(
+            jnp.linalg.norm(kf_abs.q, axis=-1, keepdims=True), 1e-12
+        )
+        kf_t = kf_abs.t
+
+        ms = build_keyframe_map(
+            cam, opts, kf_q, kf_t, jnp.where(kvalid, sel, -1),
+            kf_px, kf_desc, kf_fvalid, kf_depth, lm_capacity,
+        )
+
+        # ---- 7. global refinement ----
+        if refine_iterations > 0:
+            ms, _ = global_ba(
+                ms, cam, GlobalBAOptions(max_iterations=refine_iterations)
+            )
+
+        # preceding keyframe of every frame (cummax over kf markers)
+        prev_kf = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_kf, frame_ids, -1)
+        )
+        prev_kf = jnp.maximum(prev_kf, 0)              # [T] frame idx of kf
+        write_idx = jnp.where(kvalid, slot_frame, T)   # drop dead slots
+        slot_of_frame = jnp.zeros((T,), jnp.int32).at[write_idx].set(
+            jnp.arange(K, dtype=jnp.int32), mode="drop"
+        )
+        kf_slot_per_frame = slot_of_frame[prev_kf]     # [T]
+
+        # fallback pose: re-anchor the VO chain to the (refined) keyframe:
+        # T_cw'(f) = T_cw_vo(f) ∘ T_cw_vo(kf)^-1 ∘ T_cw_ref(kf)
+        vo_kf = Pose(poses.q[prev_kf], poses.t[prev_kf])
+        ref_kf = Pose(ms.kf_q[kf_slot_per_frame], ms.kf_t[kf_slot_per_frame])
+        corr = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(
+            vo_kf, ref_kf
+        )
+        poses = jax.vmap(lambda p, c: se3_compose(p, c))(poses, corr)
+
+        # ---- 7b. re-track: every frame PnP'd against its preceding
+        # keyframe's landmarks (the online pipeline's steady-state
+        # semantics, tracking.cpp:332-455 — but batched over ALL frames at
+        # once, since keyframe poses/landmarks are now known). Kills the
+        # within-segment drift of the composed VO chain. ----
+        kd = ms.kf_desc[kf_slot_per_frame]             # [T,N,32]
+        kv = ms.kf_fvalid[kf_slot_per_frame]
+        mt = jax.vmap(matching.match_frames)(kd, kv, desc, valid)
+        feat_lm_f = ms.kf_feat_lm[kf_slot_per_frame]   # [T,N]
+        Lp = ms.lm_physical
+        lmf = jnp.clip(feat_lm_f, 0, Lp - 1)
+        p3 = jnp.moveaxis(ms.lm_pos[:, lmf], 0, -1)    # [T,N,3]
+        pval = (
+            mt.valid & (feat_lm_f >= 0) & ms.lm_alive[lmf]
+            & jnp.all(jnp.isfinite(p3), axis=-1)
+        )
+        p2 = jnp.take_along_axis(px, mt.idx[..., None], axis=1)
+        d2 = jnp.take_along_axis(dfeat, mt.idx, axis=1)
+        keys_rt = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(37), jnp.arange(T)
+        )
+
+        def retrack(pts3d, pts2d, vv, key, dcur, prior_q, prior_t):
+            sol = pnp_ransac(
+                cam, pts3d, pts2d, vv, key, opts.max_reproj_error,
+                n_hypotheses=pnp_hypotheses, refine_iters=4,
+                init_pose=Pose(prior_q, prior_t), depth_curr=dcur,
+            )
+            ok = (
+                sol.ok
+                & (sol.n_inliers >= opts.min_inliers)
+                & jnp.all(jnp.isfinite(sol.pose.q))
+                & jnp.all(jnp.isfinite(sol.pose.t))
+            )
+            return sol.pose, sol.n_inliers, ok
+
+        rt_pose, rt_inl, rt_ok = jax.vmap(retrack)(
+            p3, p2, pval, keys_rt, d2, poses.q, poses.t
+        )
+        poses = Pose(
+            jnp.where(rt_ok[:, None], rt_pose.q, poses.q),
+            jnp.where(rt_ok[:, None], rt_pose.t, poses.t),
+        )
+        tracked = tracked | rt_ok
+
+        pose_mats = jax.vmap(se3_matrix)(poses)
+        pair_inl = jnp.concatenate([jnp.zeros((1,), jnp.int32), n_inl])
+        out = OfflineOut(
+            pose=pose_mats,
+            tracked=tracked,
+            n_matches=jnp.concatenate([jnp.zeros((1,), jnp.int32), n_matches]),
+            n_inliers=jnp.where(rt_ok, rt_inl, pair_inl),
+            parallax=jnp.concatenate([jnp.zeros((1,), jnp.float32), parallax]),
+            is_keyframe=is_kf,
+            n_keyframes=msl.n_keyframes(ms),
+            n_landmarks=msl.n_landmarks(ms),
+        )
+        return ms, out
+
+    return run
+
+
+def build_keyframe_map(
+    cam: CameraParams,
+    opts: TrackingOptions,
+    kf_q: jnp.ndarray,        # [K,4]
+    kf_t: jnp.ndarray,        # [K,3]
+    kf_id: jnp.ndarray,       # [K] int32, -1 = dead slot (ascending ids)
+    kf_px: jnp.ndarray,       # [K,N,2]
+    kf_desc: jnp.ndarray,     # [K,N,32] uint8
+    kf_fvalid: jnp.ndarray,   # [K,N]
+    kf_depth: jnp.ndarray,    # [K,N]
+    lm_capacity: int,
+) -> MapState:
+    """Build a MapState from posed keyframe observations in ONE batch:
+    depth-backprojected landmarks (tracking.cpp:586-650 semantics) with
+    contiguous sorted-scatter allocation, then multi-view observation links
+    from consecutive-pair matching. Shared by the offline pipeline and the
+    archived-keyframe full-map global BA (BASELINE config 4)."""
+    K, N = kf_fvalid.shape
+    kvalid = kf_id >= 0
+    kf_fvalid = kf_fvalid & kvalid[:, None]
+
+    want = kf_fvalid & (kf_depth >= stages.MIN_DEPTH) & (
+        kf_depth <= stages.MAX_DEPTH
+    )
+    pc = jax.vmap(lambda p, d: backproject(cam, p, d))(kf_px, kf_depth)
+    pw = jax.vmap(lambda q, t, x: se3_apply(se3_inverse(Pose(q, t)), x))(
+        kf_q, kf_t, pc
+    )  # [K,N,3] world
+    want_flat = want.reshape(-1)
+    rank = jnp.cumsum(want_flat.astype(jnp.int32)) - 1
+    L = lm_capacity
+    ok_alloc = want_flat & (rank < L)
+    slots_flat = jnp.where(ok_alloc, rank, FREE)
+    n_created = jnp.sum(ok_alloc).astype(jnp.int32)
+
+    Lp = L + N
+    scatter_idx = jnp.where(ok_alloc, rank, Lp)
+    # rows with ok_alloc carry ascending ranks but invalid rows (-> Lp)
+    # interleave; one stable sort makes the scatter truly sorted
+    order = jnp.argsort(scatter_idx)
+    sidx = scatter_idx[order]
+    pos_cm = jnp.zeros((3, Lp), jnp.float32).at[:, sidx].set(
+        pw.reshape(-1, 3).T[:, order], indices_are_sorted=True, mode="drop"
+    )
+    lm_alive = jnp.zeros((Lp,), bool).at[sidx].set(
+        True, indices_are_sorted=True, mode="drop"
+    )
+    lm_obs = jnp.zeros((Lp,), jnp.int32).at[sidx].set(
+        1, indices_are_sorted=True, mode="drop"
+    )
+
+    ms = MapState(
+        kf_q=kf_q,
+        kf_t=kf_t,
+        kf_id=kf_id,
+        kf_px=kf_px.transpose(0, 2, 1),
+        kf_desc=kf_desc,
+        kf_fvalid=kf_fvalid,
+        kf_feat_lm=slots_flat.reshape(K, N),
+        kf_depth=kf_depth,
+        lm_pos=pos_cm,
+        lm_alive=lm_alive,
+        lm_obs=lm_obs,
+        next_kf=jnp.sum(kvalid).astype(jnp.int32),
+        next_lm=jnp.minimum(n_created, L),
+        lm_dropped=(jnp.sum(want_flat) - n_created).astype(jnp.int32),
+    )
+
+    # link keyframe pairs by descriptor matching so landmarks gain
+    # multi-view observations for BA (two-view DLT creation is unnecessary
+    # here — depth already fixes the geometry; what BA needs is the
+    # observation links)
+    return _link_consecutive_keyframes(ms, cam, opts)
+
+
+def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
+                                opts: TrackingOptions) -> MapState:
+    """Give landmarks multi-view observation links: match each keyframe to
+    its successor and point the successor's matched features at the
+    predecessor's landmarks (the observation structure the reference builds
+    via TriangulateWithLastKeyFrame + depth creation, tracking.cpp:856-929).
+    One batched match over all consecutive keyframe pairs."""
+    K = ms.kf_capacity
+
+    res = jax.vmap(matching.match_frames)(
+        ms.kf_desc[: K - 1], ms.kf_fvalid[: K - 1],
+        ms.kf_desc[1:], ms.kf_fvalid[1:],
+    )  # query = kf k, train = kf k+1
+
+    lm_prev = ms.kf_feat_lm[: K - 1]                  # [K-1,N]
+    lm_next = ms.kf_feat_lm[1:]
+    # adopt the predecessor's landmark where the successor's feature has
+    # none; verify geometric consistency by reprojection into the successor
+    L = ms.lm_physical
+    lmi = jnp.clip(lm_prev, 0, L - 1)
+    pw = jnp.moveaxis(ms.lm_pos[:, lmi], 0, -1)        # [K-1,N,3]
+    pose_next = Pose(ms.kf_q[1:, None, :], ms.kf_t[1:, None, :])
+    from ..ops.camera import project_pinhole
+
+    uv, ok_z, _ = project_pinhole(cam, pose_next, pw)
+    px_next = jnp.swapaxes(ms.kf_px[1:], 1, 2)         # [K-1,N,2]
+    px_at = jnp.take_along_axis(px_next, res.idx[..., None], axis=1)
+    err = jnp.linalg.norm(uv - px_at, axis=-1)
+    adopt = (
+        res.valid
+        & (lm_prev >= 0)
+        & ok_z
+        & (err <= opts.triangulation_max_reproj_error)
+    )
+    # target feature of kf k+1 gains the link if it is currently FREE
+    target_free = jnp.take_along_axis(lm_next, res.idx, axis=1) < 0
+    adopt = adopt & target_free
+
+    # dedupe: one query per train feature (best distance first)
+    combo = jnp.where(adopt, res.idx.astype(jnp.float32) * 512.0
+                      + jnp.minimum(res.dist, 511.0), jnp.inf)
+    order = jnp.argsort(combo, axis=1)
+    key_sorted = jnp.take_along_axis(
+        jnp.where(adopt, res.idx, -1), order, axis=1
+    )
+    first = jnp.concatenate(
+        [jnp.ones_like(key_sorted[:, :1], bool),
+         key_sorted[:, 1:] != key_sorted[:, :-1]], axis=1,
+    )
+    winner_sorted = first & (key_sorted >= 0)
+    inv = jnp.argsort(order, axis=1)
+    adopt = adopt & jnp.take_along_axis(winner_sorted, inv, axis=1)
+
+    N = ms.n_features
+    rows = jnp.where(adopt, res.idx, N)
+    row_order = jnp.argsort(rows, axis=1)
+    links_sorted = jnp.take_along_axis(
+        jnp.where(adopt, lm_prev, 0), row_order, axis=1
+    )
+    rows_sorted = jnp.take_along_axis(rows, row_order, axis=1)
+    new_next = jax.vmap(
+        lambda tbl, rr, vv: tbl.at[rr].set(
+            vv, indices_are_sorted=True, mode="drop")
+    )(lm_next, rows_sorted, links_sorted)
+    kf_feat_lm = ms.kf_feat_lm.at[1:].set(new_next)
+
+    # observation counts: +1 per adopted link
+    flat = jnp.sort(jnp.where(adopt, lmi, L).reshape(-1))
+    lm_obs = ms.lm_obs.at[flat].add(
+        jnp.int32(1), indices_are_sorted=True, mode="drop"
+    )
+    return ms._replace(kf_feat_lm=kf_feat_lm, lm_obs=lm_obs)
+
+
+@lru_cache(maxsize=4)
+def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
+                      orb_kwargs_tuple, extract_chunk, pnp_hypotheses,
+                      refine_iterations, batched=False):
+    opts = TrackingOptions(**dict(opts_key))
+    run = build_offline_pipeline(
+        None, opts,
+        n_features_cap=n_features_cap, kf_capacity=kf_capacity,
+        lm_capacity=lm_capacity, orb_kwargs=dict(orb_kwargs_tuple),
+        extract_chunk=extract_chunk, pnp_hypotheses=pnp_hypotheses,
+        refine_iterations=refine_iterations,
+    )
+    if batched:
+        return jax.jit(jax.vmap(run, in_axes=(None, 0, 0)))
+    return jax.jit(run)
+
+
+def run_offline_pipeline(
+    cam: CameraParams,
+    images_u8,            # [T,H,W] uint8
+    depths_m,             # [T,H,W] float32
+    opts: TrackingOptions,
+    n_features_cap: int = 1024,
+    kf_capacity: int = 128,
+    lm_capacity: int = 1 << 17,
+    orb_kwargs: dict | None = None,
+    extract_chunk: int = 8,
+    pnp_hypotheses: int = 32,
+    refine_iterations: int = 4,
+) -> tuple[MapState, OfflineOut]:
+    opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
+    fn = _compiled_offline(
+        opts_key, n_features_cap, kf_capacity, lm_capacity,
+        tuple(sorted((orb_kwargs or {}).items())), extract_chunk,
+        pnp_hypotheses, refine_iterations,
+    )
+    return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
+
+
+def run_offline_pipeline_batched(
+    cam: CameraParams,
+    images_u8,            # [B,T,H,W] uint8
+    depths_m,             # [B,T,H,W] float32
+    opts: TrackingOptions,
+    **kw,
+) -> tuple[MapState, OfflineOut]:
+    """Batched multi-sequence offline mapping (BASELINE config 5 on one
+    chip): every stage is already batched over frames, so the sequence
+    axis simply vmaps on top — no per-lane branch divergence to pay (the
+    reason the batched ONLINE mode lost to single-stream)."""
+    opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
+    kw.setdefault("extract_chunk", 8)
+    fn = _compiled_offline(
+        opts_key,
+        kw.get("n_features_cap", 1024), kw.get("kf_capacity", 128),
+        kw.get("lm_capacity", 1 << 17),
+        tuple(sorted((kw.get("orb_kwargs") or {}).items())),
+        kw["extract_chunk"], kw.get("pnp_hypotheses", 32),
+        kw.get("refine_iterations", 4), batched=True,
+    )
+    return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))

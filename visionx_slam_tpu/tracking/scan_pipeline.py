@@ -108,14 +108,7 @@ def _clear_map(ms: MapState) -> MapState:
     )
 
 
-def _sample_depth(depth_img, px, valid):
-    """Depth at the rounded keypoint pixel (tracking.cpp:614-626)."""
-    H, W = depth_img.shape
-    u = jnp.round(px[:, 0]).astype(jnp.int32)
-    v = jnp.round(px[:, 1]).astype(jnp.int32)
-    ok = valid & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    d = depth_img[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
-    return jnp.where(ok, d, 0.0)
+_sample_depth = stages.sample_depth_image
 
 
 def _select(pred, a, b):
@@ -171,6 +164,7 @@ def build_scan_step(
         sol = pnp_ransac(
             cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
             init_pose=st.cur_pose,
+            depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
         )
         pnp_ok = (
             (n_matches >= opts.min_matches)
@@ -256,6 +250,7 @@ def build_scan_step(
             sol = pnp_ransac(
                 cam, pw, obs.px[m.idx], pvalid, k1, opts.max_reproj_error,
                 init_pose=identity_pose(),
+                depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
             )
             pnp_ok = (
                 (jnp.sum(pvalid) >= opts.min_inliers)
@@ -554,7 +549,10 @@ def resume_state(ms: MapState) -> ScanState:
         tstate=jnp.where(have, jnp.int32(GOOD), jnp.int32(INIT)),
         last_obs=obs,
         last_pose=pose,
-        cur_pose=pose,
+        # distinct buffers: the scan donates its input state, and XLA
+        # rejects donating the same buffer twice (last_pose aliasing
+        # cur_pose would do exactly that)
+        cur_pose=Pose(pose.q.copy(), pose.t.copy()),
         init_kf_slot=jnp.where(have, init_slot, jnp.int32(-1)),
         last_kf_slot=jnp.where(have, slot, jnp.int32(-1)),
         last_kf_id=jnp.where(have, ids[slot], jnp.int32(-1)).astype(jnp.int32),

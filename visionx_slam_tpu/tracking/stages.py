@@ -41,6 +41,18 @@ class FrameObs(NamedTuple):
     depth: jnp.ndarray   # [N] float32 meters (0 = missing)
 
 
+def sample_depth_image(depth_img: jnp.ndarray, px: jnp.ndarray,
+                       valid: jnp.ndarray) -> jnp.ndarray:
+    """Depth at the rounded keypoint pixel (tracking.cpp:614-626); 0 where
+    out of bounds or invalid."""
+    H, W = depth_img.shape
+    u = jnp.round(px[:, 0]).astype(jnp.int32)
+    v = jnp.round(px[:, 1]).astype(jnp.int32)
+    ok = valid & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    d = depth_img[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
+    return jnp.where(ok, d, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # feature quality gates (init path)
 # ---------------------------------------------------------------------------

@@ -79,6 +79,13 @@ class TrackingOptions:
     # translation there too — SURVEY.md known quirk "scale drift risk",
     # tracking.cpp:539-541 via :315). False = strict reference behavior.
     fallback_scale_from_depth: bool = True
+    # Use the current frame's depth for the PnP minimal solver (3-point
+    # closed-form Procrustes instead of 6-point DLT+eigh — no batched eigh
+    # on the hot path). Scoring/refinement stay 2D-reprojection-only, so
+    # semantics match cv::solvePnPRansac; depth only changes which
+    # hypotheses get drawn. False = strict reference behavior (2D-only
+    # minimal solver, like cv::solvePnPRansac's internal EPnP).
+    pnp_use_depth: bool = True
 
 
 @dataclass
@@ -107,7 +114,10 @@ class SystemConfig:
     # becomes the initial state and tracking continues in TRACKING_GOOD
     # against its newest keyframe (SURVEY.md §5.4 mandated addition)
     resume_from: str = ""
-    # "scan": whole sequence fused into one on-device lax.scan (fast path);
+    # "scan": whole sequence fused into one on-device lax.scan (online fast
+    #         path, reference state-machine semantics);
+    # "offline": batched frame-parallel mapping (highest throughput, RGB-D
+    #         only — see tracking/offline_pipeline.py);
     # "host": per-frame host state machine (reference-parity/debug path)
     pipeline: str = "host"
     # observability (SURVEY.md §5.1/§5.2): jax.profiler trace directory and
@@ -116,6 +126,7 @@ class SystemConfig:
     debug_nans: bool = False
     n_features: int = 1000              # reference: orb_extractor.h:11
     metrics_jsonl: bool = True          # per-frame structured metrics
+    kf_capacity: int = 64               # keyframe ring slots (scan path)
 
     tracking: TrackingOptions = field(default_factory=TrackingOptions)
 
