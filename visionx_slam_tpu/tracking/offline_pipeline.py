@@ -85,6 +85,27 @@ def _pad_to(x: jnp.ndarray, n: int):
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
 
 
+def _chunked_vmap(fn, chunk: int, *args):
+    """``jax.vmap(fn)(*args)`` executed in ``lax.map`` chunks of the leading
+    axis to bound peak memory: the matcher materializes an [N,N] distance
+    matrix per pair (~4 MB at N=1024), so mapping ALL T-1 pairs at once
+    costs O(T) x that in live intermediates — ~1 GB at T=240 and 8x more
+    under a batched-lane vmap. Chunking keeps the MXU batch large enough to
+    amortize while capping the live set; the tail chunk repeats the last
+    element (dropped on return)."""
+    M = args[0].shape[0]
+    if chunk <= 0 or M <= chunk:
+        return jax.vmap(fn)(*args)
+    Mc = -(-M // chunk) * chunk
+    parts = tuple(
+        _pad_to(a, Mc).reshape(Mc // chunk, chunk, *a.shape[1:]) for a in args
+    )
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), parts)
+    return jax.tree.map(
+        lambda x: x.reshape(Mc, *x.shape[2:])[:M], out
+    )
+
+
 def build_offline_pipeline(
     cam_static_placeholder,
     opts: TrackingOptions,
@@ -94,6 +115,7 @@ def build_offline_pipeline(
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
+    pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
     refine_iterations: int = 4,
 ):
@@ -131,20 +153,9 @@ def build_offline_pipeline(
         valid = valid.reshape(Tc, N)[:T]
         dfeat = dfeat.reshape(Tc, N)[:T]
 
-        # ---- 2. consecutive-pair matching (batched MXU GEMMs) ----
-        m = jax.vmap(matching.match_frames)(
-            desc[:-1], valid[:-1], desc[1:], valid[1:]
-        )  # MatchResult of [T-1, N]
-        n_matches = jnp.sum(m.valid, axis=1).astype(jnp.int32)  # [T-1]
-
-        # ---- 3. relative pose per pair (batched RGB-D PnP) ----
-        good_d = (dfeat >= stages.MIN_DEPTH) & (dfeat <= stages.MAX_DEPTH)
-        pc_prev = jax.vmap(lambda p, d: backproject(cam, p, d))(
-            px[:-1], dfeat[:-1]
-        )  # [T-1,N,3] points in the PREVIOUS frame's camera
-        px_next = jnp.take_along_axis(px[1:], m.idx[..., None], axis=1)
-        d_next = jnp.take_along_axis(dfeat[1:], m.idx, axis=1)
-        pvalid = m.valid & good_d[:-1]
+        # ---- 2+3. consecutive-pair matching + relative pose, one chunked
+        # per-pair function (match -> gather -> RGB-D PnP); lax.map chunks
+        # bound the live [N,N] distance matrices (see _chunked_vmap) ----
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(29), jnp.arange(T - 1)
         )
@@ -163,15 +174,29 @@ def build_offline_pipeline(
             )
             return sol.pose, sol.n_inliers, ok
 
-        rel, n_inl, ok = jax.vmap(pair_pose)(
-            pc_prev, px_next, pvalid, keys, d_next
+        def pair_track(dq, vq, dt, vt, pxq, pxt, ddq, ddt, key):
+            m = matching.match_frames(dq, vq, dt, vt)
+            pc = backproject(cam, pxq, ddq)        # prev-frame camera points
+            px_n = pxt[m.idx]
+            d_n = ddt[m.idx]
+            pvalid = (
+                m.valid & (ddq >= stages.MIN_DEPTH) & (ddq <= stages.MAX_DEPTH)
+            )
+            pose, n_i, ok_i = pair_pose(pc, px_n, pvalid, key, d_n)
+            n_m = jnp.sum(m.valid).astype(jnp.int32)
+            par = stages.parallax_px(pxq, pxt, m)
+            return pose.q, pose.t, n_i, ok_i, n_m, par
+
+        rq, rt, n_inl, ok, n_matches, parallax = _chunked_vmap(
+            pair_track, pair_chunk,
+            desc[:-1], valid[:-1], desc[1:], valid[1:],
+            px[:-1], px[1:], dfeat[:-1], dfeat[1:], keys,
         )  # rel = T_{i+1 <- i}
         ident = identity_pose()
         rel = Pose(
-            jnp.where(ok[:, None], rel.q, ident.q[None]),
-            jnp.where(ok[:, None], rel.t, ident.t[None]),
+            jnp.where(ok[:, None], rq, ident.q[None]),
+            jnp.where(ok[:, None], rt, ident.t[None]),
         )
-        parallax = jax.vmap(stages.parallax_px)(px[:-1], px[1:], m)  # [T-1]
 
         # ---- 4. absolute poses by parallel prefix over SE(3) ----
         # T_cw[i+1] = rel[i] ∘ rel[i-1] ∘ ... ∘ rel[0]; combine(a, b) = b∘a
@@ -235,21 +260,27 @@ def build_offline_pipeline(
         # per-hop SNR, and ~gap x fewer hops to compound than the
         # frame-to-frame VO chain), falling back to the VO-derived
         # relative pose where the direct estimate fails ----
-        mk = jax.vmap(matching.match_frames)(
-            kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:]
-        )
-        good_dk = (kf_depth >= stages.MIN_DEPTH) & (kf_depth <= stages.MAX_DEPTH)
-        pc_kf = jax.vmap(lambda p, d: backproject(cam, p, d))(
-            kf_px[:-1], kf_depth[:-1]
-        )
-        px_kn = jnp.take_along_axis(kf_px[1:], mk.idx[..., None], axis=1)
-        d_kn = jnp.take_along_axis(kf_depth[1:], mk.idx, axis=1)
         keys_k = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(31), jnp.arange(K - 1)
         )
-        rel_k, _, ok_k = jax.vmap(pair_pose)(
-            pc_kf, px_kn, mk.valid & good_dk[:-1], keys_k, d_kn
+
+        def kf_pair_track(dq, vq, dt, vt, pxq, pxt, ddq, ddt, key):
+            m = matching.match_frames(dq, vq, dt, vt)
+            pc = backproject(cam, pxq, ddq)
+            px_n = pxt[m.idx]
+            d_n = ddt[m.idx]
+            pvalid = (
+                m.valid & (ddq >= stages.MIN_DEPTH) & (ddq <= stages.MAX_DEPTH)
+            )
+            pose, _, ok_i = pair_pose(pc, px_n, pvalid, key, d_n)
+            return pose.q, pose.t, ok_i
+
+        rk_q, rk_t, ok_k = _chunked_vmap(
+            kf_pair_track, pair_chunk,
+            kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:],
+            kf_px[:-1], kf_px[1:], kf_depth[:-1], kf_depth[1:], keys_k,
         )
+        rel_k = Pose(rk_q, rk_t)
         vo_kf_pose = Pose(poses.q[slot_frame], poses.t[slot_frame])  # [K]
         vo_rel = jax.vmap(
             lambda a_q, a_t, b_q, b_t: se3_compose(
@@ -279,6 +310,7 @@ def build_offline_pipeline(
         ms = build_keyframe_map(
             cam, opts, kf_q, kf_t, jnp.where(kvalid, sel, -1),
             kf_px, kf_desc, kf_fvalid, kf_depth, lm_capacity,
+            pair_chunk=pair_chunk,
         )
 
         # ---- 7. global refinement ----
@@ -314,41 +346,44 @@ def build_offline_pipeline(
         # within-segment drift of the composed VO chain. ----
         kd = ms.kf_desc[kf_slot_per_frame]             # [T,N,32]
         kv = ms.kf_fvalid[kf_slot_per_frame]
-        mt = jax.vmap(matching.match_frames)(kd, kv, desc, valid)
         feat_lm_f = ms.kf_feat_lm[kf_slot_per_frame]   # [T,N]
         Lp = ms.lm_physical
-        lmf = jnp.clip(feat_lm_f, 0, Lp - 1)
-        p3 = jnp.moveaxis(ms.lm_pos[:, lmf], 0, -1)    # [T,N,3]
-        pval = (
-            mt.valid & (feat_lm_f >= 0) & ms.lm_alive[lmf]
-            & jnp.all(jnp.isfinite(p3), axis=-1)
-        )
-        p2 = jnp.take_along_axis(px, mt.idx[..., None], axis=1)
-        d2 = jnp.take_along_axis(dfeat, mt.idx, axis=1)
         keys_rt = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(37), jnp.arange(T)
         )
+        lm_pos, lm_alive = ms.lm_pos, ms.lm_alive      # closed over (gathered)
 
-        def retrack(pts3d, pts2d, vv, key, dcur, prior_q, prior_t):
-            sol = pnp_ransac(
-                cam, pts3d, pts2d, vv, key, opts.max_reproj_error,
-                n_hypotheses=pnp_hypotheses, refine_iters=4,
-                init_pose=Pose(prior_q, prior_t), depth_curr=dcur,
+        def frame_retrack(kdi, kvi, flmi, di, vi, pxi, ddi, key, pq, pt):
+            m = matching.match_frames(kdi, kvi, di, vi)
+            lmf = jnp.clip(flmi, 0, Lp - 1)
+            p3 = lm_pos[:, lmf].T                      # [N,3] world points
+            pval = (
+                m.valid & (flmi >= 0) & lm_alive[lmf]
+                & jnp.all(jnp.isfinite(p3), axis=-1)
             )
-            ok = (
+            p2 = pxi[m.idx]
+            d2 = ddi[m.idx]
+            sol = pnp_ransac(
+                cam, p3, p2, pval, key, opts.max_reproj_error,
+                n_hypotheses=pnp_hypotheses, refine_iters=4,
+                init_pose=Pose(pq, pt), depth_curr=d2,
+            )
+            ok_i = (
                 sol.ok
                 & (sol.n_inliers >= opts.min_inliers)
                 & jnp.all(jnp.isfinite(sol.pose.q))
                 & jnp.all(jnp.isfinite(sol.pose.t))
             )
-            return sol.pose, sol.n_inliers, ok
+            return sol.pose.q, sol.pose.t, sol.n_inliers, ok_i
 
-        rt_pose, rt_inl, rt_ok = jax.vmap(retrack)(
-            p3, p2, pval, keys_rt, d2, poses.q, poses.t
+        rt_q, rt_t, rt_inl, rt_ok = _chunked_vmap(
+            frame_retrack, pair_chunk,
+            kd, kv, feat_lm_f, desc, valid, px, dfeat, keys_rt,
+            poses.q, poses.t,
         )
         poses = Pose(
-            jnp.where(rt_ok[:, None], rt_pose.q, poses.q),
-            jnp.where(rt_ok[:, None], rt_pose.t, poses.t),
+            jnp.where(rt_ok[:, None], rt_q, poses.q),
+            jnp.where(rt_ok[:, None], rt_t, poses.t),
         )
         tracked = tracked | rt_ok
 
@@ -380,6 +415,7 @@ def build_keyframe_map(
     kf_fvalid: jnp.ndarray,   # [K,N]
     kf_depth: jnp.ndarray,    # [K,N]
     lm_capacity: int,
+    pair_chunk: int = 16,
 ) -> MapState:
     """Build a MapState from posed keyframe observations in ONE batch:
     depth-backprojected landmarks (tracking.cpp:586-650 semantics) with
@@ -441,11 +477,12 @@ def build_keyframe_map(
     # multi-view observations for BA (two-view DLT creation is unnecessary
     # here — depth already fixes the geometry; what BA needs is the
     # observation links)
-    return _link_consecutive_keyframes(ms, cam, opts)
+    return _link_consecutive_keyframes(ms, cam, opts, pair_chunk)
 
 
 def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
-                                opts: TrackingOptions) -> MapState:
+                                opts: TrackingOptions,
+                                pair_chunk: int = 16) -> MapState:
     """Give landmarks multi-view observation links: match each keyframe to
     its successor and point the successor's matched features at the
     predecessor's landmarks (the observation structure the reference builds
@@ -453,7 +490,8 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
     One batched match over all consecutive keyframe pairs."""
     K = ms.kf_capacity
 
-    res = jax.vmap(matching.match_frames)(
+    res = _chunked_vmap(
+        matching.match_frames, pair_chunk,
         ms.kf_desc[: K - 1], ms.kf_fvalid[: K - 1],
         ms.kf_desc[1:], ms.kf_fvalid[1:],
     )  # query = kf k, train = kf k+1
@@ -520,14 +558,15 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
 
 @lru_cache(maxsize=4)
 def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
-                      orb_kwargs_tuple, extract_chunk, pnp_hypotheses,
-                      refine_iterations, batched=False):
+                      orb_kwargs_tuple, extract_chunk, pair_chunk,
+                      pnp_hypotheses, refine_iterations, batched=False):
     opts = TrackingOptions(**dict(opts_key))
     run = build_offline_pipeline(
         None, opts,
         n_features_cap=n_features_cap, kf_capacity=kf_capacity,
         lm_capacity=lm_capacity, orb_kwargs=dict(orb_kwargs_tuple),
-        extract_chunk=extract_chunk, pnp_hypotheses=pnp_hypotheses,
+        extract_chunk=extract_chunk, pair_chunk=pair_chunk,
+        pnp_hypotheses=pnp_hypotheses,
         refine_iterations=refine_iterations,
     )
     if batched:
@@ -545,6 +584,7 @@ def run_offline_pipeline(
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
+    pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
     refine_iterations: int = 4,
 ) -> tuple[MapState, OfflineOut]:
@@ -552,7 +592,7 @@ def run_offline_pipeline(
     fn = _compiled_offline(
         opts_key, n_features_cap, kf_capacity, lm_capacity,
         tuple(sorted((orb_kwargs or {}).items())), extract_chunk,
-        pnp_hypotheses, refine_iterations,
+        pair_chunk, pnp_hypotheses, refine_iterations,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
 
@@ -569,13 +609,16 @@ def run_offline_pipeline_batched(
     axis simply vmaps on top — no per-lane branch divergence to pay (the
     reason the batched ONLINE mode lost to single-stream)."""
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
-    kw.setdefault("extract_chunk", 8)
+    # per-lane chunks shrink under the batched vmap: a lane chunk of c costs
+    # B*c live distance matrices, so default smaller than single-stream
+    kw.setdefault("extract_chunk", 2)
+    kw.setdefault("pair_chunk", 8)
     fn = _compiled_offline(
         opts_key,
         kw.get("n_features_cap", 1024), kw.get("kf_capacity", 128),
         kw.get("lm_capacity", 1 << 17),
         tuple(sorted((kw.get("orb_kwargs") or {}).items())),
-        kw["extract_chunk"], kw.get("pnp_hypotheses", 32),
+        kw["extract_chunk"], kw["pair_chunk"], kw.get("pnp_hypotheses", 32),
         kw.get("refine_iterations", 4), batched=True,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
