@@ -18,8 +18,8 @@ control flow until the final fixed-size top-K):
   uses HARRIS_SCORE ranking; blockSize 7, k = 0.04).
 - 3x3 NMS via max-pool comparison.
 - per-level candidate budget n_i ~ geometric(1/1.2) of n_features (the
-  OpenCV per-level distribution), selected with one `lax.top_k` over the
-  flattened response map.
+  OpenCV per-level distribution), selected with a per-8x8-cell argmax then
+  `lax.top_k` over cells.
 - orientation by intensity centroid over the radius-15 disc, computed for
   the selected keypoints via gathered 31x31 patches (vmapped
   dynamic_slice).
@@ -322,6 +322,9 @@ def orb_extract(
         atlas16 = atlas.astype(jnp.bfloat16)
         corners = _fast_corners(atlas16, jnp.bfloat16(fast_threshold))
         harris = _harris(atlas16).astype(jnp.float32)
+        # NMS kept despite the per-cell argmax below: dropping it was ~2%
+        # faster but doubled ATE on the synthetic benchmark (cross-cell
+        # near-duplicates crowd out weaker-but-distinct corners)
         cand = corners & in_border & _nms3(
             jnp.where(corners, harris, -jnp.inf)
         )

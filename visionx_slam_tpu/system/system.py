@@ -360,7 +360,14 @@ class System:
         if cfg.run_global_ba:
             summary["global_ba"] = self._run_global_ba()
 
-        self.save_snapshot(os.path.join(cfg.output_dir, "map_snapshot.npz"))
+        snap_path = os.path.join(cfg.output_dir, "map_snapshot.npz")
+        self.save_snapshot(snap_path)
+        if cfg.export_ply:
+            from ..eval.export import export_snapshot_ply
+
+            ply_path = os.path.join(cfg.output_dir, "map.ply")
+            summary["map_ply_points"] = export_snapshot_ply(snap_path, ply_path)
+            summary["map_ply"] = ply_path
         with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=2)
         log.info("Summary: %s", summary)

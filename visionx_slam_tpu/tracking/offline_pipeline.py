@@ -118,6 +118,7 @@ def build_offline_pipeline(
     pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
     refine_iterations: int = 4,
+    gba_cg_iterations: int = 25,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
@@ -128,7 +129,7 @@ def build_offline_pipeline(
     K = kf_capacity
     C = extract_chunk
 
-    def run(cam: CameraParams, images_u8, depths_m):
+    def run_pre(cam: CameraParams, images_u8, depths_m):
         T = images_u8.shape[0]
         H, W = images_u8.shape[1:]
 
@@ -313,11 +314,35 @@ def build_offline_pipeline(
             pair_chunk=pair_chunk,
         )
 
-        # ---- 7. global refinement ----
-        if refine_iterations > 0:
-            ms, _ = global_ba(
-                ms, cam, GlobalBAOptions(max_iterations=refine_iterations)
-            )
+        aux = dict(
+            poses_q=poses.q, poses_t=poses.t, tracked=tracked,
+            n_inl=n_inl, n_matches=n_matches, parallax=parallax,
+            is_kf=is_kf, px=px, desc=desc, valid=valid, dfeat=dfeat,
+        )
+        return ms, aux
+
+    gba_opts = GlobalBAOptions(
+        max_iterations=max(refine_iterations, 1),
+        cg_iterations=gba_cg_iterations,
+    )
+
+    def run_refine(cam: CameraParams, ms: MapState) -> MapState:
+        # kept OUT of run_pre so the batched path can lax.map it per lane:
+        # the PCG's gathers/scatters degrade badly under a lane vmap
+        ms, _ = global_ba(ms, cam, gba_opts)
+        return ms
+
+    def run_post(cam: CameraParams, ms: MapState, aux: dict):
+        poses = Pose(aux["poses_q"], aux["poses_t"])
+        tracked = aux["tracked"]
+        n_inl, n_matches = aux["n_inl"], aux["n_matches"]
+        parallax, is_kf = aux["parallax"], aux["is_kf"]
+        px, desc = aux["px"], aux["desc"]
+        valid, dfeat = aux["valid"], aux["dfeat"]
+        T = is_kf.shape[0]
+        frame_ids = jnp.arange(T, dtype=jnp.int32)
+        kvalid = ms.kf_id >= 0
+        slot_frame = jnp.maximum(ms.kf_id, 0)
 
         # preceding keyframe of every frame (cummax over kf markers)
         prev_kf = jax.lax.associative_scan(
@@ -401,6 +426,13 @@ def build_offline_pipeline(
         )
         return ms, out
 
+    def run(cam: CameraParams, images_u8, depths_m):
+        ms, aux = run_pre(cam, images_u8, depths_m)
+        if refine_iterations > 0:
+            ms = run_refine(cam, ms)
+        return run_post(cam, ms, aux)
+
+    run.pre, run.refine, run.post = run_pre, run_refine, run_post
     return run
 
 
@@ -559,7 +591,8 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
 @lru_cache(maxsize=4)
 def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
                       orb_kwargs_tuple, extract_chunk, pair_chunk,
-                      pnp_hypotheses, refine_iterations, batched=False):
+                      pnp_hypotheses, refine_iterations, batched=False,
+                      gba_cg_iterations=25):
     opts = TrackingOptions(**dict(opts_key))
     run = build_offline_pipeline(
         None, opts,
@@ -568,9 +601,18 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
         extract_chunk=extract_chunk, pair_chunk=pair_chunk,
         pnp_hypotheses=pnp_hypotheses,
         refine_iterations=refine_iterations,
+        gba_cg_iterations=gba_cg_iterations,
     )
     if batched:
-        return jax.jit(jax.vmap(run, in_axes=(None, 0, 0)))
+        def run_batched(cam, imgs, deps):
+            ms, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, imgs, deps)
+            if refine_iterations > 0:
+                # per-lane sequential GBA: the matrix-free PCG's sorted
+                # segment scatters/gathers lose their fast path under a
+                # lane vmap (measured ~2.5x worse than even serialized)
+                ms = jax.lax.map(lambda m: run.refine(cam, m), ms)
+            return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
+        return jax.jit(run_batched)
     return jax.jit(run)
 
 
@@ -587,12 +629,14 @@ def run_offline_pipeline(
     pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
     refine_iterations: int = 4,
+    gba_cg_iterations: int = 25,
 ) -> tuple[MapState, OfflineOut]:
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_offline(
         opts_key, n_features_cap, kf_capacity, lm_capacity,
         tuple(sorted((orb_kwargs or {}).items())), extract_chunk,
         pair_chunk, pnp_hypotheses, refine_iterations,
+        gba_cg_iterations=gba_cg_iterations,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
 
@@ -613,6 +657,17 @@ def run_offline_pipeline_batched(
     # B*c live distance matrices, so default smaller than single-stream
     kw.setdefault("extract_chunk", 2)
     kw.setdefault("pair_chunk", 8)
+    # keyframe capacity scales with lane length: fixed per-lane costs (map
+    # build, keyframe chain, GBA) are O(K) regardless of T, so an oversized
+    # K dilutes short lanes (measured: K=128 -> 64 on 120-frame lanes was
+    # +34 fps aggregate); ~T/3 keyframes occur at the default policy
+    T = images_u8.shape[1]
+    kw.setdefault("kf_capacity", max(16, min(128, -(-T // 2) + 16)))
+    # lighter default refinement than single-stream: the per-lane lax.map
+    # GBA is the serial tail of the batched run (ATE measured invariant
+    # r0..r4 on fr-class synthetic; bump for harder data)
+    kw.setdefault("refine_iterations", 2)
+    kw.setdefault("gba_cg_iterations", 12)
     fn = _compiled_offline(
         opts_key,
         kw.get("n_features_cap", 1024), kw.get("kf_capacity", 128),
@@ -620,5 +675,6 @@ def run_offline_pipeline_batched(
         tuple(sorted((kw.get("orb_kwargs") or {}).items())),
         kw["extract_chunk"], kw["pair_chunk"], kw.get("pnp_hypotheses", 32),
         kw.get("refine_iterations", 4), batched=True,
+        gba_cg_iterations=kw.get("gba_cg_iterations", 25),
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))

@@ -127,6 +127,9 @@ class SystemConfig:
     n_features: int = 1000              # reference: orb_extractor.h:11
     metrics_jsonl: bool = True          # per-frame structured metrics
     kf_capacity: int = 64               # keyframe ring slots (scan path)
+    # viewer-replacement sinks (SURVEY.md L8): landmark cloud + keyframe
+    # centers as PLY next to the npz snapshot; plot via cli.plot
+    export_ply: bool = True
 
     tracking: TrackingOptions = field(default_factory=TrackingOptions)
 
