@@ -21,13 +21,15 @@ control flow until the final fixed-size top-K):
   OpenCV per-level distribution), selected with a per-8x8-cell argmax then
   `lax.top_k` over cells.
 - orientation by intensity centroid over the radius-15 disc, computed for
-  the selected keypoints via gathered 31x31 patches (vmapped
-  dynamic_slice).
+  the selected keypoints from 31x31 patches gathered via a space-to-depth
+  cell layout (25 full-vector gathers + one-hot recentering einsums — no
+  per-keypoint dynamic_slice).
 - rBRIEF: a fixed 256-pair pattern (deterministic Gaussian pattern, sigma
-  = patch/5 — descriptors are self-consistent, NOT bitwise-equal to
-  OpenCV's learned pattern; parity is validated statistically, see
-  SURVEY.md §7.3) steered by the keypoint angle, sampled with nearest
-  rounding from a 7x7 Gaussian-blurred level image, packed to uint8[32].
+  = patch/5, clipped to the radius-13 disc — descriptors are
+  self-consistent, NOT bitwise-equal to OpenCV's learned pattern; parity
+  is validated statistically, see SURVEY.md §7.3) steered by the keypoint
+  angle quantized to 32 bins, computed as ONE MXU matmul against +1/-1
+  difference banks over the blurred patch, packed to uint8[32].
 
 The public entry point pads/validity-masks to a fixed feature capacity,
 matching the extractor protocol (SURVEY.md §2.1 "Feature extractor ABC").
@@ -45,7 +47,6 @@ import numpy as np
 FAST_RADIUS = 3
 HALF_PATCH = 15          # orientation disc radius (OpenCV HALF_PATCH_SIZE)
 BRIEF_RADIUS = 13        # pattern points live in [-13, 13]
-PAD = 40                 # sampling pad so all gathers stay in bounds
 HARRIS_K = 0.04
 HARRIS_BLOCK = 7
 
@@ -374,17 +375,49 @@ def orb_extract(
     if profile_stage <= 1:
         desc = jnp.zeros((xy.shape[0], 32), jnp.uint8)
     else:
-        # ---- one blur + one batched patch gather for ALL keypoints ----
+        # ---- one blur + space-to-depth patch gather for ALL keypoints ----
+        # Per-keypoint dynamic_slice serialized (~1.6 ms/frame); instead the
+        # blurred atlas is retiled into 8x8 cells [Hc*Wc, 64] so each patch
+        # is 25 gathers of FULL 64-lane vectors (2.3x faster), reassembled
+        # to a 40x40 region and recentered to 31x31 with two one-hot
+        # einsums (MXU, exact 0/1 selection).
         blurred = _sep_conv(atlas, _gaussian_kernel1d())
-        spad = jnp.pad(blurred, PAD, mode="edge")
-
-        def patch(y, x):
-            return jax.lax.dynamic_slice(
-                spad, (y + PAD - PATCH_R, x + PAD - PATCH_R),
-                (PATCH_S, PATCH_S),
-            )
-
-        patches = jax.vmap(patch)(yy, xx)            # [Q,S,S]
+        CS = 8
+        Wp = -(-W // CS) * CS
+        if Wp != W:
+            blurred = jnp.pad(blurred, ((0, 0), (0, Wp - W)))
+        Ha = blurred.shape[0]                        # level blocks 8-aligned
+        Hc2, Wc2 = Ha // CS, Wp // CS
+        s2d = blurred.reshape(Hc2, CS, Wc2, CS).transpose(0, 2, 1, 3).reshape(
+            Hc2 * Wc2, CS * CS
+        )
+        Q = yy.shape[0]
+        base_y = yy - PATCH_R
+        base_x = xx - PATCH_R
+        cy, oy = base_y // CS, base_y % CS
+        cx, ox = base_x // CS, base_x % CS
+        d5 = jnp.arange(5, dtype=jnp.int32)
+        cell_idx = (
+            (cy[:, None, None] + d5[:, None]) * Wc2
+            + cx[:, None, None] + d5[None, :]
+        )  # [Q,5,5]; keypoints are >=31 px inside, so cells stay in range
+        # (dead top_k slots may wrap negatively — harmless, masked by valid)
+        g = s2d[cell_idx.reshape(-1)]                # [Q*25, 64]
+        region = g.reshape(Q, 5, 5, CS, CS).transpose(0, 1, 3, 2, 4).reshape(
+            Q, 40, 40
+        )
+        ii = jnp.arange(PATCH_S, dtype=jnp.int32)
+        jj = jnp.arange(40, dtype=jnp.int32)
+        Ysel = (oy[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
+        Xsel = (ox[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
+        t = jnp.einsum(
+            "qij,qjk->qik", Ysel, region.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        patches = jnp.einsum(
+            "qik,qjk->qij", t.astype(jnp.bfloat16), Xsel,
+            preferred_element_type=jnp.float32,
+        )  # [Q,31,31]
         angles = _orientation(patches)
         if profile_stage <= 2:
             resp = resp + 0 * jnp.sum(angles)

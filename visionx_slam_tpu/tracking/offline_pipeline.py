@@ -117,8 +117,8 @@ def build_offline_pipeline(
     extract_chunk: int = 8,
     pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
-    refine_iterations: int = 4,
-    gba_cg_iterations: int = 25,
+    refine_iterations: int = 2,
+    gba_cg_iterations: int = 12,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
@@ -628,8 +628,8 @@ def run_offline_pipeline(
     extract_chunk: int = 8,
     pair_chunk: int = 32,
     pnp_hypotheses: int = 32,
-    refine_iterations: int = 4,
-    gba_cg_iterations: int = 25,
+    refine_iterations: int = 2,
+    gba_cg_iterations: int = 12,
 ) -> tuple[MapState, OfflineOut]:
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_offline(
