@@ -94,9 +94,11 @@ def _gaussian_kernel1d(size: int = 7, sigma: float = 2.0) -> np.ndarray:
 
 
 def _sep_conv(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution with symmetric padding (single image)."""
+    """Separable 2D convolution with symmetric padding (single image).
+    Accumulates in the IMAGE dtype (bf16 stays bf16 — no silent f32
+    promotion; the callers choose precision)."""
     r = len(k) // 2
-    kj = jnp.asarray(k)
+    kj = jnp.asarray(k.astype(np.float32)).astype(img.dtype)
     p = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
     out = sum(kj[i] * p[i : i + img.shape[0], :] for i in range(len(k)))
     p = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
@@ -152,14 +154,20 @@ def _harris(img: jnp.ndarray) -> jnp.ndarray:
         r = 1
         p = jnp.pad(img, r, mode="edge")
         ky, kx = (smooth, diff) if horizontal else (diff, smooth)
+        ky = jnp.asarray(ky).astype(img.dtype)
+        kx = jnp.asarray(kx).astype(img.dtype)
         rows = sum(ky[i] * p[i : i + img.shape[0], :] for i in range(3))
         return sum(kx[i] * rows[:, i : i + img.shape[1]] for i in range(3))
 
-    dx = sobel(img, True) * 0.25
-    dy = sobel(img, False) * 0.25
-    sxx = _box7(dx * dx)
-    syy = _box7(dy * dy)
-    sxy = _box7(dx * dy)
+    # gradients/products in the input dtype (bf16 on the hot path: these
+    # 12+ dense passes are bandwidth-bound); the det/trace CANCELLATION is
+    # the precision-sensitive part, so the box sums are cast to f32 first —
+    # ranking noise stays at the product level (~0.4%), validated vs cv2
+    dx = sobel(img, True) * jnp.asarray(0.25, img.dtype)
+    dy = sobel(img, False) * jnp.asarray(0.25, img.dtype)
+    sxx = _box7(dx * dx).astype(jnp.float32)
+    syy = _box7(dy * dy).astype(jnp.float32)
+    sxy = _box7(dx * dy).astype(jnp.float32)
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
     return det - HARRIS_K * tr * tr
@@ -234,22 +242,35 @@ def _orientation(patches: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache(maxsize=8)
 def _atlas_layout(H: int, W: int, n_levels: int, scale_factor: float,
                   border: int):
-    """Static atlas geometry: vertical stack of all pyramid levels at full
-    width W, each level's row block padded to a multiple of 8 (f32 sublane
-    tile). Returns (offsets, (h,w) per level, total rows, border mask)."""
-    offs, dims = [], []
-    off = 0
+    """Static atlas geometry: greedy SHELF PACKING of the pyramid levels
+    into one [total, W] image (small levels share a shelf side by side —
+    ~15% fewer dense-pass pixels than a plain vertical stack). Every
+    placement is 8-aligned in both axes (f32 sublane tile / cell grid).
+    Returns (placements (oy,ox,h,w) per level, total rows, border mask).
+    Levels touch with no guard gap: dense stencils contaminate <= 4 px
+    across a seam and the per-level ``border``-px mask excludes them."""
+    dims = []
     for lvl in range(n_levels):
         s = scale_factor**lvl
-        h, w = int(round(H / s)), int(round(W / s))
-        offs.append(off)
-        dims.append((h, w))
-        off += -(-h // 8) * 8
-    total = off
+        dims.append((int(round(H / s)), int(round(W / s))))
+    place = []
+    y = 0
+    shelf_h = 0
+    x = 0
+    for (h, w) in dims:  # heights descend, so first-fit shelves are tight
+        wa = -(-w // 8) * 8
+        if x + wa > W:
+            y += -(-shelf_h // 8) * 8
+            x, shelf_h = 0, 0
+        place.append((y, x, h, w))
+        x += wa
+        shelf_h = max(shelf_h, h)
+    total = y + -(-shelf_h // 8) * 8
     mask = np.zeros((total, W), bool)
-    for (o, (h, w)) in zip(offs, dims):
-        mask[o + border : o + h - border, border : w - border] = True
-    return tuple(offs), tuple(dims), total, mask
+    for (oy, ox, h, w) in place:
+        mask[oy + border : oy + h - border,
+             ox + border : ox + w - border] = True
+    return tuple(place), total, mask
 
 
 @functools.partial(
@@ -295,19 +316,37 @@ def orb_extract(
     H, W = gray_u8.shape
     img0 = gray_u8.astype(jnp.float32)
     quotas = _level_quotas(n_features, n_levels, scale_factor)
-    offs, dims, total_rows, border_mask = _atlas_layout(
+    place, total_rows, border_mask = _atlas_layout(
         H, W, n_levels, scale_factor, border
     )
 
-    # ---- build the atlas (one resize per level; zero-fill padding) ----
-    blocks = []
-    for lvl, (o, (h, w)) in enumerate(zip(offs, dims)):
-        im = img0 if lvl == 0 else jax.image.resize(
-            img0, (h, w), method="linear"
+    # ---- build the shelf-packed atlas (one resize per level) ----
+    levels = [
+        img0 if lvl == 0 else jax.image.resize(
+            img0, (place[lvl][2], place[lvl][3]), method="linear"
         )
-        hp = -(-h // 8) * 8
-        blocks.append(jnp.pad(im, ((0, hp - h), (0, W - w))))
-    atlas = jnp.concatenate(blocks, axis=0)          # [Ha, W]
+        for lvl in range(n_levels)
+    ]
+    shelves = []          # list of (y, [padded level blocks]) per shelf
+    for lvl, (oy, ox, h, w) in enumerate(place):
+        if ox == 0:
+            shelves.append((oy, []))
+        shelves[-1][1].append((lvl, ox, h, w))
+    row_blocks = []
+    ycur = 0
+    for si, (oy, members) in enumerate(shelves):
+        next_oy = shelves[si + 1][0] if si + 1 < len(shelves) else total_rows
+        sh = next_oy - oy
+        cols = []
+        xcur = 0
+        for (lvl, ox, h, w) in members:
+            wa = -(-w // 8) * 8
+            cols.append(jnp.pad(levels[lvl], ((0, sh - h), (0, wa - w))))
+            xcur = ox + wa
+        if xcur < W:
+            cols.append(jnp.zeros((sh, W - xcur), img0.dtype))
+        row_blocks.append(jnp.concatenate(cols, axis=1))
+    atlas = jnp.concatenate(row_blocks, axis=0)      # [total_rows, W]
     in_border = jnp.asarray(border_mask)
 
     # ---- dense passes, once over the whole pyramid (bf16: these are
@@ -333,14 +372,13 @@ def orb_extract(
 
     # ---- per-level grid-bucketed top-K (cheap: cell reductions) ----
     CELL = 8
-    all_yy, all_xx, all_resp, all_valid, all_scale = [], [], [], [], []
-    for lvl, (o, (h, w)) in enumerate(zip(offs, dims)):
+    all_yy, all_xx, all_lxy, all_resp, all_valid = [], [], [], [], []
+    for lvl, (oy, ox, h, w) in enumerate(place):
         hp = -(-h // 8) * 8
-        sl = score[o : o + hp]                       # [hp, W]
-        Hc, Wc = hp // CELL, -(-W // CELL)
-        sp = jnp.pad(sl, ((0, 0), (0, Wc * CELL - W)),
-                     constant_values=-jnp.inf)
-        cells = sp.reshape(Hc, CELL, Wc, CELL).transpose(0, 2, 1, 3).reshape(
+        wa = -(-w // 8) * 8                          # ox and wa 8-aligned
+        sl = score[oy : oy + hp, ox : ox + wa]       # [hp, wa]
+        Hc, Wc = hp // CELL, wa // CELL
+        cells = sl.reshape(Hc, CELL, Wc, CELL).transpose(0, 2, 1, 3).reshape(
             Hc, Wc, CELL * CELL
         )
         cell_max = jnp.max(cells, axis=-1)
@@ -352,25 +390,19 @@ def orb_extract(
         off_in = cell_arg.reshape(-1)[cidx].astype(jnp.int32)
         yy = cy * CELL + off_in // CELL              # level-local row
         xx = cx * CELL + off_in % CELL
-        all_yy.append(yy + o)                        # atlas row
-        all_xx.append(xx)
+        all_yy.append(yy + oy)                       # atlas coords
+        all_xx.append(xx + ox)
+        all_lxy.append(jnp.stack(
+            [xx.astype(jnp.float32), yy.astype(jnp.float32)], -1
+        ) * jnp.float32(scale_factor**lvl))          # level-0 pixels
         all_resp.append(top)
         all_valid.append(jnp.isfinite(top))
-        all_scale.append(
-            jnp.full((quota,), scale_factor**lvl, jnp.float32)
-        )
     yy = jnp.concatenate(all_yy)                     # [Q] atlas coords
     xx = jnp.concatenate(all_xx)
     top = jnp.concatenate(all_resp)
     valid = jnp.concatenate(all_valid)
-    scale = jnp.concatenate(all_scale)
-    lvl_off = jnp.concatenate([
-        jnp.full((q,), o, jnp.int32) for q, o in zip(quotas, offs)
-    ])
     resp = jnp.where(valid, top, 0.0)
-    xy = jnp.stack(
-        [xx.astype(jnp.float32), (yy - lvl_off).astype(jnp.float32)], -1
-    ) * scale[:, None]                               # level-0 pixels
+    xy = jnp.concatenate(all_lxy)                    # level-0 pixels
 
     if profile_stage <= 1:
         desc = jnp.zeros((xy.shape[0], 32), jnp.uint8)

@@ -116,7 +116,7 @@ def build_offline_pipeline(
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
     pair_chunk: int = 32,
-    pnp_hypotheses: int = 32,
+    pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
     gba_cg_iterations: int = 12,
 ):
@@ -627,7 +627,7 @@ def run_offline_pipeline(
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
     pair_chunk: int = 32,
-    pnp_hypotheses: int = 32,
+    pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
     gba_cg_iterations: int = 12,
 ) -> tuple[MapState, OfflineOut]:
@@ -673,7 +673,7 @@ def run_offline_pipeline_batched(
         kw.get("n_features_cap", 1024), kw.get("kf_capacity", 128),
         kw.get("lm_capacity", 1 << 17),
         tuple(sorted((kw.get("orb_kwargs") or {}).items())),
-        kw["extract_chunk"], kw["pair_chunk"], kw.get("pnp_hypotheses", 32),
+        kw["extract_chunk"], kw["pair_chunk"], kw.get("pnp_hypotheses", 16),
         kw.get("refine_iterations", 4), batched=True,
         gba_cg_iterations=kw.get("gba_cg_iterations", 25),
     )
