@@ -229,14 +229,20 @@ def _brief_bank(A: int = BRIEF_BINS) -> np.ndarray:
 
 def _orientation(patches: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid angle from [K, PATCH_S, PATCH_S] patches over the
-    radius-15 disc (IC-angle, reference inventory §2.3)."""
+    radius-15 disc (IC-angle, reference inventory §2.3) — computed as ONE
+    [K, S^2] x [S^2, 2] matmul (f32 accumulation) instead of two windowed
+    VPU reductions."""
     ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
     disc = (xs**2 + ys**2 <= HALF_PATCH**2).astype(np.float32)
-    wx = jnp.asarray((xs * disc).astype(np.float32))
-    wy = jnp.asarray((ys * disc).astype(np.float32))
-    m10 = jnp.sum(patches * wx, axis=(-2, -1))
-    m01 = jnp.sum(patches * wy, axis=(-2, -1))
-    return jnp.arctan2(m01, m10)
+    wxy = np.stack([(xs * disc).reshape(-1), (ys * disc).reshape(-1)], -1)
+    k = patches.shape[0]
+    m = jax.lax.dot_general(
+        patches.reshape(k, -1),
+        jnp.asarray(wxy).astype(patches.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, 2] = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 @functools.lru_cache(maxsize=8)
@@ -413,7 +419,9 @@ def orb_extract(
         # is 25 gathers of FULL 64-lane vectors (2.3x faster), reassembled
         # to a 40x40 region and recentered to 31x31 with two one-hot
         # einsums (MXU, exact 0/1 selection).
-        blurred = _sep_conv(atlas, _gaussian_kernel1d())
+        # blur + gather + recenter all in bf16: the descriptor COMPARES
+        # blurred values (sign decisions), orientation accumulates in f32
+        blurred = _sep_conv(atlas.astype(jnp.bfloat16), _gaussian_kernel1d())
         CS = 8
         Wp = -(-W // CS) * CS
         if Wp != W:
@@ -443,13 +451,13 @@ def orb_extract(
         Ysel = (oy[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
         Xsel = (ox[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
         t = jnp.einsum(
-            "qij,qjk->qik", Ysel, region.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+            "qij,qjk->qik", Ysel, region,
+            preferred_element_type=jnp.bfloat16,
         )
         patches = jnp.einsum(
-            "qik,qjk->qij", t.astype(jnp.bfloat16), Xsel,
-            preferred_element_type=jnp.float32,
-        )  # [Q,31,31]
+            "qik,qjk->qij", t, Xsel,
+            preferred_element_type=jnp.bfloat16,
+        )  # [Q,31,31] bf16 (one-hot selection is exact; values bf16)
         angles = _orientation(patches)
         if profile_stage <= 2:
             resp = resp + 0 * jnp.sum(angles)
@@ -466,7 +474,7 @@ def orb_extract(
                 jnp.round(angles / (2.0 * np.pi / A)).astype(jnp.int32), A
             )
             q = patches.shape[0]
-            flat = patches.reshape(q, PATCH_S * PATCH_S).astype(jnp.bfloat16)
+            flat = patches.reshape(q, PATCH_S * PATCH_S)
             vals = jax.lax.dot_general(
                 flat, Dj.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

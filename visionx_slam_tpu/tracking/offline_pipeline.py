@@ -161,10 +161,10 @@ def build_offline_pipeline(
             jax.random.PRNGKey(29), jnp.arange(T - 1)
         )
 
-        def pair_pose(pts3d, pts2d, vv, key, dcur):
+        def pair_pose(pts3d, pts2d, vv, key, dcur, refine=4):
             sol = pnp_ransac(
                 cam, pts3d, pts2d, vv, key, opts.max_reproj_error,
-                n_hypotheses=pnp_hypotheses, refine_iters=4,
+                n_hypotheses=pnp_hypotheses, refine_iters=refine,
                 init_pose=identity_pose(), depth_curr=dcur,
             )
             ok = (
@@ -183,7 +183,10 @@ def build_offline_pipeline(
             pvalid = (
                 m.valid & (ddq >= stages.MIN_DEPTH) & (ddq <= stages.MAX_DEPTH)
             )
-            pose, n_i, ok_i = pair_pose(pc, px_n, pvalid, key, d_n)
+            # light GN polish: this pose only seeds the keyframe policy and
+            # the VO fallback chain; the retrack stage re-estimates every
+            # frame against the refined keyframe map with the full polish
+            pose, n_i, ok_i = pair_pose(pc, px_n, pvalid, key, d_n, refine=2)
             n_m = jnp.sum(m.valid).astype(jnp.int32)
             par = stages.parallax_px(pxq, pxt, m)
             return pose.q, pose.t, n_i, ok_i, n_m, par
