@@ -31,12 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.orb_jax import FAST_CIRCLE, HARRIS_BLOCK, HARRIS_K
 
-PAD_K = 9
+PAD_K = 12  # halo; 12 (not the minimal 9) keeps BH + 2*PAD_K 8-row-aligned for DMA
 NEG = -3.0e38  # stand-in for -inf that survives f32 arithmetic
 
 
-def _kernel(img_ref, score_ref, *, H, W, threshold):
-    img = img_ref[:]  # [H + 2*PAD_K, W + 2*PAD_K]
+def _kernel(img_ref, score_ref, *, W, BH, threshold):
+    # row-tiled: load this tile's rows (+halo) from the VMEM-resident
+    # image, compute the [BH, W] score tile on-chip. Tiling bounds the
+    # per-tile temporaries (a monolithic whole-image kernel exceeded VMEM:
+    # Mosaic stack-allocates the unrolled taps); the whole padded image in
+    # VMEM keeps the input spec vmap-compatible (ANY-space inputs are not).
+    ti = pl.program_id(0)
+    img = img_ref[pl.ds(ti * BH, BH + 2 * PAD_K), :]
+    H = BH            # all region math below is per-tile
 
     def sl(arr, dy, dx, h, w, oy, ox):
         # offsets are static python ints -> static slices (Mosaic-friendly)
@@ -75,23 +82,19 @@ def _kernel(img_ref, score_ref, *, H, W, threshold):
     gy = gx = PAD_K - 4
 
     def sobel_at(dy, dx):
-        # origin (gy, gx): the +-1 Sobel taps are carried by dy/dx, NOT by
-        # shifting the region origin
-        return sl(img, dy, dx, HB, WB, gy, gx)
+        # one-wider region ([HB, WB+2], origin one column left) so the
+        # horizontal +-1 taps become STATIC SLICES of the aggregate —
+        # jnp.pad here lowered to a tpu.concatenate Mosaic can't lay out
+        return sl(img, dy, dx, HB, WB + 2, gy, gx - 1)
 
     # separable [1,2,1] x [-1,0,1] (x0.25, as the jnp path)
     rows_s = sobel_at(0, 0) * 2.0 + sobel_at(-1, 0) + sobel_at(1, 0)
     rows_d = sobel_at(1, 0) - sobel_at(-1, 0)
 
-    # horizontal pass on the row aggregates (zero-pad shift: only the
-    # outermost region columns are affected, all inside the 31px border
-    # mask applied downstream)
-    def hshift(a, dx):
-        padded = jnp.pad(a, ((0, 0), (1, 1)))
-        return padded[:, 1 + dx : 1 + dx + a.shape[1]]
-
-    dx_img = (hshift(rows_s, 1) - hshift(rows_s, -1)) * 0.25
-    dy_img = (hshift(rows_d, -1) + 2.0 * rows_d + hshift(rows_d, 1)) * 0.25
+    dx_img = (rows_s[:, 2 : 2 + WB] - rows_s[:, 0:WB]) * 0.25
+    dy_img = (
+        rows_d[:, 0:WB] + 2.0 * rows_d[:, 1 : 1 + WB] + rows_d[:, 2 : 2 + WB]
+    ) * 0.25
 
     def box7(a):
         # separable 7x7 box on the inner [H2, W2] region of a [HB, WB] map
@@ -127,16 +130,27 @@ def _kernel(img_ref, score_ref, *, H, W, threshold):
     score_ref[:] = jnp.where(keep, harris_c, NEG)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
-def fast_harris_score(img: jnp.ndarray, threshold: float = 20.0) -> jnp.ndarray:
-    """Per-pixel candidate score for one pyramid level (f32 [H,W] in,
-    [H,W] out; -inf-like NEG where not a surviving corner)."""
+@functools.partial(jax.jit, static_argnames=("threshold", "block_rows"))
+def fast_harris_score(img: jnp.ndarray, threshold: float = 20.0,
+                      block_rows: int = 64) -> jnp.ndarray:
+    """Per-pixel candidate score for one pyramid level / atlas (f32 [H,W]
+    in, [H,W] out; -inf-like NEG where not a surviving corner). Gridded
+    over ``block_rows``-row tiles; each tile DMAs its halo'd rows from HBM
+    into a VMEM scratch."""
     H, W = img.shape
-    padded = jnp.pad(img, PAD_K, mode="edge")
-    kernel = functools.partial(_kernel, H=H, W=W, threshold=threshold)
-    return pl.pallas_call(
+    BH = block_rows
+    Hp = -(-H // BH) * BH
+    # lane (width) dim of the DMA must be 128-aligned: pad right
+    Wp = -(-(W + 2 * PAD_K) // 128) * 128
+    padded = jnp.pad(img, ((PAD_K, PAD_K + Hp - H),
+                           (PAD_K, Wp - W - PAD_K)), mode="edge")
+    kernel = functools.partial(_kernel, W=W, BH=BH, threshold=threshold)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        grid=(Hp // BH,),
+        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BH, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
     )(padded)
+    return out[:H]
