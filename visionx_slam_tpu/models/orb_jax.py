@@ -22,8 +22,8 @@ control flow until the final fixed-size top-K):
   `lax.top_k` over cells.
 - orientation by intensity centroid over the radius-15 disc, computed for
   the selected keypoints from 31x31 patches gathered via a space-to-depth
-  cell layout (25 full-vector gathers + one-hot recentering einsums — no
-  per-keypoint dynamic_slice).
+  cell layout (3x3 gathers of 256-lane cell vectors + one-hot recentering
+  einsums — no per-keypoint dynamic_slice).
 - rBRIEF: a fixed 256-pair pattern (deterministic Gaussian pattern, sigma
   = patch/5, clipped to the radius-13 disc — descriptors are
   self-consistent, NOT bitwise-equal to OpenCV's learned pattern; parity
@@ -415,19 +415,26 @@ def orb_extract(
     else:
         # ---- one blur + space-to-depth patch gather for ALL keypoints ----
         # Per-keypoint dynamic_slice serialized (~1.6 ms/frame); instead the
-        # blurred atlas is retiled into 8x8 cells [Hc*Wc, 64] so each patch
-        # is 25 gathers of FULL 64-lane vectors (2.3x faster), reassembled
-        # to a 40x40 region and recentered to 31x31 with two one-hot
-        # einsums (MXU, exact 0/1 selection).
+        # blurred atlas is retiled into 16x16 cells [Hc*Wc, 256] so each
+        # patch is a 3x3 gather of FULL 256-lane vectors (gather cost
+        # scales with row count: 9 rows beat 25 8x8 rows by ~1.4x),
+        # reassembled to a 48x48 region and recentered to 31x31 with two
+        # one-hot einsums (MXU, exact 0/1 selection).
         # blur + gather + recenter all in bf16: the descriptor COMPARES
         # blurred values (sign decisions), orientation accumulates in f32
         blurred = _sep_conv(atlas.astype(jnp.bfloat16), _gaussian_kernel1d())
-        CS = 8
-        Wp = -(-W // CS) * CS
-        if Wp != W:
-            blurred = jnp.pad(blurred, ((0, 0), (0, Wp - W)))
-        Ha = blurred.shape[0]                        # level blocks 8-aligned
-        Hc2, Wc2 = Ha // CS, Wp // CS
+        CS = 16
+        NC = 3                                       # cells per patch side
+        REG = NC * CS                                # 48
+        # region spans [base - base%CS, +REG): up to CS-1+PATCH_S+PATCH_R
+        # past a keypoint, and keypoints sit PATCH_R+... >=31 px inside a
+        # level but levels touch: pad one extra cell both axes
+        Hp2 = -(-blurred.shape[0] // CS) * CS + CS
+        Wp2 = -(-W // CS) * CS + CS
+        blurred = jnp.pad(
+            blurred, ((0, Hp2 - blurred.shape[0]), (0, Wp2 - W))
+        )
+        Hc2, Wc2 = Hp2 // CS, Wp2 // CS
         s2d = blurred.reshape(Hc2, CS, Wc2, CS).transpose(0, 2, 1, 3).reshape(
             Hc2 * Wc2, CS * CS
         )
@@ -436,18 +443,18 @@ def orb_extract(
         base_x = xx - PATCH_R
         cy, oy = base_y // CS, base_y % CS
         cx, ox = base_x // CS, base_x % CS
-        d5 = jnp.arange(5, dtype=jnp.int32)
+        d3 = jnp.arange(NC, dtype=jnp.int32)
         cell_idx = (
-            (cy[:, None, None] + d5[:, None]) * Wc2
-            + cx[:, None, None] + d5[None, :]
-        )  # [Q,5,5]; keypoints are >=31 px inside, so cells stay in range
+            (cy[:, None, None] + d3[:, None]) * Wc2
+            + cx[:, None, None] + d3[None, :]
+        )  # [Q,NC,NC]; keypoints are >=31 px inside, so cells stay in range
         # (dead top_k slots may wrap negatively — harmless, masked by valid)
-        g = s2d[cell_idx.reshape(-1)]                # [Q*25, 64]
-        region = g.reshape(Q, 5, 5, CS, CS).transpose(0, 1, 3, 2, 4).reshape(
-            Q, 40, 40
+        g = s2d[cell_idx.reshape(-1)]                # [Q*9, 256]
+        region = g.reshape(Q, NC, NC, CS, CS).transpose(0, 1, 3, 2, 4).reshape(
+            Q, REG, REG
         )
         ii = jnp.arange(PATCH_S, dtype=jnp.int32)
-        jj = jnp.arange(40, dtype=jnp.int32)
+        jj = jnp.arange(REG, dtype=jnp.int32)
         Ysel = (oy[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
         Xsel = (ox[:, None, None] + ii[:, None] == jj).astype(jnp.bfloat16)
         t = jnp.einsum(
@@ -457,7 +464,7 @@ def orb_extract(
         patches = jnp.einsum(
             "qik,qjk->qij", t, Xsel,
             preferred_element_type=jnp.bfloat16,
-        )  # [Q,31,31] bf16 (one-hot selection is exact; values bf16)
+        )  # [Q,31,31] bf16 (one-hot selection exact; values bf16)
         angles = _orientation(patches)
         if profile_stage <= 2:
             resp = resp + 0 * jnp.sum(angles)
