@@ -23,9 +23,11 @@ def img():
 
 
 def reference_score(img, threshold=20.0, border=31):
-    H, W = img.shape
-    corners = OJ._fast_corners(img, threshold)
-    harris = OJ._harris(img)
+    # mirror the production jnp path's precision: bf16 taps/products, f32
+    # det/trace cancellation (models/orb_jax.py dense passes)
+    img16 = img.astype(jnp.bfloat16)
+    corners = OJ._fast_corners(img16, jnp.bfloat16(threshold))
+    harris = OJ._harris(img16).astype(jnp.float32)
     cand = corners & OJ._nms3(jnp.where(corners, harris, -jnp.inf))
     return jnp.where(cand, harris, -jnp.inf)
 
@@ -47,7 +49,9 @@ def test_pallas_matches_reference(img):
     assert agree > 0.99, f"corner mask agreement {agree:.4f}"
     both = mask_p & mask_r
     if both.any():
-        np.testing.assert_allclose(sp[both], sr[both], rtol=2e-3, atol=20.0)
+        # kernel computes the blur/box in a different association order
+        # than XLA's fusion; bf16 keeps them within ~1%
+        np.testing.assert_allclose(sp[both], sr[both], rtol=2e-2, atol=20.0)
 
 
 def test_orb_extract_pallas_flag_cpu(img):
@@ -57,3 +61,20 @@ def test_orb_extract_pallas_flag_cpu(img):
     out0 = OJ.orb_extract(g, n_features=100, n_levels=2, n_slots=128, use_pallas=0)
     out1 = OJ.orb_extract(g, n_features=100, n_levels=2, n_slots=128)
     np.testing.assert_array_equal(np.asarray(out0[0]), np.asarray(out1[0]))
+
+
+def test_pallas_blur_matches_sepconv(img):
+    """The kernel's fused 7-tap Gaussian must match the jnp separable
+    blur (bf16) away from edges."""
+    from visionx_slam_tpu.ops import pallas_detect as PD
+
+    H, W = img.shape
+    with pltpu.force_tpu_interpret_mode():
+        _, blur_p = PD.fast_harris_blur(
+            img.astype(jnp.bfloat16), jnp.ones((H, W), jnp.int8), 20.0
+        )
+    blur_r = OJ._sep_conv(img.astype(jnp.bfloat16), OJ._gaussian_kernel1d())
+    b = 8
+    bp = np.asarray(blur_p[b:-b, b:-b], np.float32)
+    br = np.asarray(blur_r[b:-b, b:-b], np.float32)
+    np.testing.assert_allclose(bp, br, rtol=2e-2, atol=2.0)

@@ -279,6 +279,25 @@ def _atlas_layout(H: int, W: int, n_levels: int, scale_factor: float,
     return tuple(place), total, mask
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    """Probe: can the fused Mosaic detection kernel compile AND run on this
+    backend? Cached per process; any failure (missing toolchain, version
+    mismatch, lowering regression) silently selects the XLA path."""
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        from ..ops.pallas_detect import fast_harris_blur
+
+        a = jnp.zeros((64, 128), jnp.bfloat16)
+        m = jnp.ones((64, 128), jnp.int8)
+        score, blur = fast_harris_blur(a, m, 20.0)
+        jax.block_until_ready(score)
+        return True
+    except Exception:
+        return False
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_features", "scale_factor", "n_levels", "n_slots",
@@ -308,17 +327,19 @@ def orb_extract(
     boundary and the per-level 31-px border mask excludes them.
     """
     if use_pallas == -1:
-        # default OFF: this environment's tunneled backend cannot compile
-        # Mosaic kernels (remote compile helper env is broken server-side,
-        # local AOT libtpu is version-mismatched). The kernel is validated
-        # in interpreter mode (tests/test_pallas_detect.py); opt in with
-        # VXS_PALLAS=1 on a setup with a working Mosaic toolchain.
+        # auto: probe the Mosaic toolchain once per process and use the
+        # fused kernel when it works (VXS_PALLAS=0/1 forces off/on; the
+        # kernel is also validated in interpreter mode on CPU,
+        # tests/test_pallas_detect.py)
         import os
 
-        use_pallas = 1 if (
-            os.environ.get("VXS_PALLAS") == "1"
-            and jax.default_backend() not in ("cpu",)
-        ) else 0
+        env = os.environ.get("VXS_PALLAS", "")
+        if env == "0":
+            use_pallas = 0
+        elif env == "1":
+            use_pallas = 1
+        else:
+            use_pallas = 1 if _pallas_available() else 0
     H, W = gray_u8.shape
     img0 = gray_u8.astype(jnp.float32)
     quotas = _level_quotas(n_features, n_levels, scale_factor)
@@ -359,11 +380,16 @@ def orb_extract(
     # HBM-bandwidth-bound elementwise/window ops; image intensities and
     # Harris RANKING survive bf16 — validated vs the f32 oracle in
     # tests/test_orb_jax.py) ----
+    blurred16 = None
     if use_pallas:
-        from ..ops.pallas_detect import NEG, fast_harris_score
+        from ..ops.pallas_detect import NEG, fast_harris_blur
 
-        raw = fast_harris_score(atlas, fast_threshold)
-        score = jnp.where(in_border & (raw > 0.5 * NEG), raw, -jnp.inf)
+        raw, blurred16 = fast_harris_blur(
+            atlas.astype(jnp.bfloat16),
+            jnp.asarray(border_mask.astype(np.int8)),
+            fast_threshold,
+        )
+        score = jnp.where(raw > 0.5 * NEG, raw, -jnp.inf)
     else:
         atlas16 = atlas.astype(jnp.bfloat16)
         corners = _fast_corners(atlas16, jnp.bfloat16(fast_threshold))
@@ -422,7 +448,8 @@ def orb_extract(
         # one-hot einsums (MXU, exact 0/1 selection).
         # blur + gather + recenter all in bf16: the descriptor COMPARES
         # blurred values (sign decisions), orientation accumulates in f32
-        blurred = _sep_conv(atlas.astype(jnp.bfloat16), _gaussian_kernel1d())
+        blurred = (blurred16 if blurred16 is not None else
+                   _sep_conv(atlas.astype(jnp.bfloat16), _gaussian_kernel1d()))
         CS = 16
         NC = 3                                       # cells per patch side
         REG = NC * CS                                # 48

@@ -1,22 +1,27 @@
-"""Pallas TPU kernel: fused FAST-9 + Harris + NMS corner scoring.
+"""Pallas TPU kernel: fused FAST-9 + Harris + NMS + border mask + blur.
 
-The detection stage of the ORB frontend is ~50 elementwise passes over
-each pyramid level (circle taps, run tests, Sobel, box filters, NMS); as
-separate XLA fusions they round-trip HBM several times per level. This
-kernel computes the final per-pixel candidate score in ONE VMEM-resident
-pass: the level image is DMA'd into VMEM once and every intermediate
-lives on-chip.
+The detection stage of the ORB frontend is ~50 elementwise passes over the
+pyramid atlas (circle taps, run tests, Sobel, box filters, NMS, Gaussian
+blur); as separate XLA fusions they round-trip HBM several times. This
+kernel computes BOTH detection outputs in one VMEM-resident pass per row
+tile:
 
-Semantics are IDENTICAL to the jnp reference path in ``models/orb_jax.py``
-(same taps, same Harris constants, same masked NMS); the contiguous-9
-test uses a bitmask run trick (pack the 16 circle comparisons into an
-int32, detect a cyclic run of 9 with shift-ANDs) instead of materializing
-a [24,H,W] stack — the stack would not fit VMEM.
+- ``score`` f32 [H, W]: Harris response where (FAST corner & 3x3 NMS winner
+  & border mask), else NEG;
+- ``blur`` bf16 [H, W]: the 7-tap Gaussian blur the BRIEF patch stage
+  samples from (computed from the same VMEM-resident rows for free).
 
-Input: level image padded by PAD_K=9 on all sides (edge padding), f32.
-Output: score [H, W] — Harris response where (FAST corner & 3x3 NMS
-winner among corner-masked scores), else -inf. Border masking and top-K
-stay in XLA.
+Semantics match the jnp path in ``models/orb_jax.py`` (same taps, same
+Harris constants, same masked NMS, bf16 arithmetic with f32 det/trace
+cancellation). The contiguous-9 test packs the 16 circle comparisons into
+an int32 and detects a cyclic run of 9 with shift-ANDs.
+
+Mosaic lessons baked in (round 2): no jnp.pad in-kernel (lowers to a
+tpu.concatenate with offsets Mosaic rejects) — halo carried by wider
+static slices; row tiles bound the stack-allocated temporaries (a
+monolithic whole-image kernel exceeded VMEM); the whole padded image stays
+in VMEM so the input spec remains vmap-compatible (ANY-space blocked
+inputs are not); slice shapes 8-row / 128-lane aligned.
 """
 
 from __future__ import annotations
@@ -29,20 +34,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.orb_jax import FAST_CIRCLE, HARRIS_BLOCK, HARRIS_K
+from ..models.orb_jax import (
+    FAST_CIRCLE,
+    HARRIS_BLOCK,
+    HARRIS_K,
+    _gaussian_kernel1d,
+)
 
-PAD_K = 12  # halo; 12 (not the minimal 9) keeps BH + 2*PAD_K 8-row-aligned for DMA
+PAD_K = 12  # halo; 12 (not the minimal 9) keeps BH + 2*PAD_K 8-row-aligned
 NEG = -3.0e38  # stand-in for -inf that survives f32 arithmetic
 
 
-def _kernel(img_ref, score_ref, *, W, BH, threshold):
+def _kernel(img_ref, mask_ref, score_ref, blur_ref, *, W, BH, threshold):
     # row-tiled: load this tile's rows (+halo) from the VMEM-resident
-    # image, compute the [BH, W] score tile on-chip. Tiling bounds the
-    # per-tile temporaries (a monolithic whole-image kernel exceeded VMEM:
-    # Mosaic stack-allocates the unrolled taps); the whole padded image in
-    # VMEM keeps the input spec vmap-compatible (ANY-space inputs are not).
+    # image, compute the [BH, W] score + blur tiles on-chip.
     ti = pl.program_id(0)
-    img = img_ref[pl.ds(ti * BH, BH + 2 * PAD_K), :]
+    img = img_ref[pl.ds(ti * BH, BH + 2 * PAD_K), :]  # bf16
     H = BH            # all region math below is per-tile
 
     def sl(arr, dy, dx, h, w, oy, ox):
@@ -52,13 +59,16 @@ def _kernel(img_ref, score_ref, *, W, BH, threshold):
     # ---------------- FAST-9/16 over the [H+2, W+2] NMS halo -------------
     H2, W2 = H + 2, W + 2
     oy = ox = PAD_K - 1
-    center = sl(img, 0, 0, H2, W2, oy, ox)
-    hi = center + threshold
-    lo = center - threshold
+    # compares in f32: an i1 born from a bf16 compare carries 16-sublane
+    # mask tiling and Mosaic cannot relayout it to the int32 select's
+    # 32-bit tiling ("Invalid relayout ... replicated in destination")
+    center = sl(img, 0, 0, H2, W2, oy, ox).astype(jnp.float32)
+    hi = center + jnp.float32(threshold)
+    lo = center - jnp.float32(threshold)
     bright = jnp.zeros((H2, W2), jnp.int32)
     dark = jnp.zeros((H2, W2), jnp.int32)
     for i, (dy, dx) in enumerate(FAST_CIRCLE):
-        tap = sl(img, int(dy), int(dx), H2, W2, oy, ox)
+        tap = sl(img, int(dy), int(dx), H2, W2, oy, ox).astype(jnp.float32)
         bit = jnp.int32(1 << i)
         bright = bright | jnp.where(tap > hi, bit, 0)
         dark = dark | jnp.where(tap < lo, bit, 0)
@@ -71,30 +81,33 @@ def _kernel(img_ref, score_ref, *, W, BH, threshold):
         r = r & (r >> 2)   # runs >= 4
         r = r & (r >> 4)   # runs >= 8
         r = r & (x >> 8)   # runs >= 9
-        return (r & jnp.int32(0xFFFF)) != 0
+        return r & jnp.int32(0xFFFF)
 
-    corner2 = run9(bright) | run9(dark)
+    # corner mask as f32 0/1 via arithmetic (no i1 select on splats)
+    corner2 = jnp.minimum(
+        (run9(bright) | run9(dark)).astype(jnp.float32), 1.0
+    )
 
     # ---------------- Harris over the same [H+2, W+2] region -------------
     # Sobel needs a further +-1, the 7x7 box a further +-3: compute the
-    # gradients over [H2+6, W2+6].
+    # gradients over [H2+6, W2+6] (one wider so the horizontal taps are
+    # static slices — jnp.pad would lower to an unsupported concatenate).
     HB, WB = H2 + 6, W2 + 6
     gy = gx = PAD_K - 4
 
     def sobel_at(dy, dx):
-        # one-wider region ([HB, WB+2], origin one column left) so the
-        # horizontal +-1 taps become STATIC SLICES of the aggregate —
-        # jnp.pad here lowered to a tpu.concatenate Mosaic can't lay out
         return sl(img, dy, dx, HB, WB + 2, gy, gx - 1)
 
-    # separable [1,2,1] x [-1,0,1] (x0.25, as the jnp path)
-    rows_s = sobel_at(0, 0) * 2.0 + sobel_at(-1, 0) + sobel_at(1, 0)
+    # separable [1,2,1] x [-1,0,1] (x0.25, as the jnp path), bf16
+    two = jnp.bfloat16(2.0)
+    rows_s = sobel_at(0, 0) * two + sobel_at(-1, 0) + sobel_at(1, 0)
     rows_d = sobel_at(1, 0) - sobel_at(-1, 0)
 
-    dx_img = (rows_s[:, 2 : 2 + WB] - rows_s[:, 0:WB]) * 0.25
+    q = jnp.bfloat16(0.25)
+    dx_img = (rows_s[:, 2 : 2 + WB] - rows_s[:, 0:WB]) * q
     dy_img = (
-        rows_d[:, 0:WB] + 2.0 * rows_d[:, 1 : 1 + WB] + rows_d[:, 2 : 2 + WB]
-    ) * 0.25
+        rows_d[:, 0:WB] + two * rows_d[:, 1 : 1 + WB] + rows_d[:, 2 : 2 + WB]
+    ) * q
 
     def box7(a):
         # separable 7x7 box on the inner [H2, W2] region of a [HB, WB] map
@@ -106,15 +119,18 @@ def _kernel(img_ref, score_ref, *, W, BH, threshold):
             out = out + acc[:, k : k + W2]
         return out
 
-    sxx = box7(dx_img * dx_img)
-    syy = box7(dy_img * dy_img)
-    sxy = box7(dx_img * dy_img)
+    # products/box in bf16 (VPU throughput); det/trace CANCELLATION in
+    # f32, matching models/orb_jax._harris
+    sxx = box7(dx_img * dx_img).astype(jnp.float32)
+    syy = box7(dy_img * dy_img).astype(jnp.float32)
+    sxy = box7(dx_img * dy_img).astype(jnp.float32)
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
-    harris2 = det - HARRIS_K * tr * tr  # [H2, W2]
+    harris2 = det - HARRIS_K * tr * tr  # [H2, W2] f32
 
     # ---------------- masked 3x3 NMS -------------------------------------
-    masked2 = jnp.where(corner2, harris2, NEG)
+    # arithmetic mask (corner2 is exactly 0/1): avoids an i1 select
+    masked2 = corner2 * harris2 + (1.0 - corner2) * NEG
     nmax = jnp.full((H, W), NEG, jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -124,33 +140,80 @@ def _kernel(img_ref, score_ref, *, W, BH, threshold):
                 nmax, masked2[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
             )
     center_m = masked2[1 : 1 + H, 1 : 1 + W]
-    corner_c = corner2[1 : 1 + H, 1 : 1 + W]
+    corner_cf = corner2[1 : 1 + H, 1 : 1 + W]
     harris_c = harris2[1 : 1 + H, 1 : 1 + W]
-    keep = corner_c & (center_m >= nmax)
-    score_ref[:] = jnp.where(keep, harris_c, NEG)
+    maskf = mask_ref[:].astype(jnp.float32)
+    k = corner_cf * maskf                      # 0/1, f32 arithmetic
+    score0 = k * harris_c + (1.0 - k) * NEG
+    # single select whose branches share the non-splat layout
+    score_ref[:] = jnp.where(center_m >= nmax, score0,
+                             jnp.zeros((H, W), jnp.float32) + NEG)
+
+    # ---------------- 7-tap Gaussian blur (for BRIEF patches) ------------
+    kblur = _gaussian_kernel1d()
+    bx = PAD_K - 3
+    racc = jnp.zeros((H, W + 6), jnp.bfloat16)
+    for k in range(7):
+        racc = racc + jnp.bfloat16(float(kblur[k])) * sl(
+            img, k - 3, 0, H, W + 6, PAD_K, bx
+        )
+    out = jnp.zeros((H, W), jnp.bfloat16)
+    for k in range(7):
+        out = out + jnp.bfloat16(float(kblur[k])) * racc[:, k : k + W]
+    blur_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "block_rows"))
+def fast_harris_blur(
+    img16: jnp.ndarray,   # [H, W] bf16 (atlas)
+    mask: jnp.ndarray,    # [H, W] int8 border mask (1 = allowed)
+    threshold: float = 20.0,
+    block_rows: int = 64,
+):
+    """Fused detection + blur over a pyramid atlas. Returns
+    (score f32 [H,W] — NEG where not a surviving masked corner,
+    blur bf16 [H,W])."""
+    H, W = img16.shape
+    BH = block_rows
+    Hp = -(-H // BH) * BH
+    # lane (width) dim must be 128-aligned for the in-kernel slices
+    Wp = -(-(W + 2 * PAD_K) // 128) * 128
+    padded = jnp.pad(
+        img16, ((PAD_K, PAD_K + Hp - H), (PAD_K, Wp - W - PAD_K)),
+        mode="edge",
+    )
+    mask_p = jnp.pad(mask, ((0, Hp - H), (0, 0)))
+    kernel = functools.partial(_kernel, W=W, BH=BH, threshold=threshold)
+    score, blur = pl.pallas_call(
+        kernel,
+        grid=(Hp // BH,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp, W), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, W), jnp.bfloat16),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BH, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(padded, mask_p)
+    return score[:H], blur[:H]
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "block_rows"))
 def fast_harris_score(img: jnp.ndarray, threshold: float = 20.0,
                       block_rows: int = 64) -> jnp.ndarray:
-    """Per-pixel candidate score for one pyramid level / atlas (f32 [H,W]
-    in, [H,W] out; -inf-like NEG where not a surviving corner). Gridded
-    over ``block_rows``-row tiles; each tile DMAs its halo'd rows from HBM
-    into a VMEM scratch."""
+    """Detection-only compatibility wrapper (f32 in / f32 score out, no
+    border mask — callers mask downstream)."""
     H, W = img.shape
-    BH = block_rows
-    Hp = -(-H // BH) * BH
-    # lane (width) dim of the DMA must be 128-aligned: pad right
-    Wp = -(-(W + 2 * PAD_K) // 128) * 128
-    padded = jnp.pad(img, ((PAD_K, PAD_K + Hp - H),
-                           (PAD_K, Wp - W - PAD_K)), mode="edge")
-    kernel = functools.partial(_kernel, W=W, BH=BH, threshold=threshold)
-    out = pl.pallas_call(
-        kernel,
-        grid=(Hp // BH,),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((BH, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(padded)
-    return out[:H]
+    mask = jnp.ones((H, W), jnp.int8)
+    score, _ = fast_harris_blur(
+        img.astype(jnp.bfloat16), mask, threshold, block_rows
+    )
+    return score
