@@ -90,7 +90,7 @@ def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
     if d == 4:
         # hot path (per-correspondence triangulation): closed-form solve —
         # batched LU on [N,4,4] schedules pathologically on TPU
-        from ..ops.linalg import solve4x4
+        from ..ops.linalg import solve6x6_spd, solve4x4
 
         for _ in range(2):
             v0 = solve4x4(Ms, v0)
@@ -423,7 +423,7 @@ def _pose_gn_refine(
         Jw = Jf * wf[:, None]
         H = Jw.T @ Jf + 1e-6 * jnp.eye(6, dtype=pc.dtype)
         b = Jw.T @ rf
-        dx = jnp.linalg.solve(H, b)
+        dx = solve6x6_spd(H, b)  # closed form: batched LU serializes
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         return se3_compose(se3_exp(dx), pose), None
 

@@ -48,16 +48,18 @@ def unpack_bits(desc_u8: jnp.ndarray) -> jnp.ndarray:
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """Full Hamming distance matrix [N, M] from uint8 descriptors [N,32]/[M,32].
 
-    Computed as |a| + |b| - 2 a.b with the inner product on the MXU.
+    Computed as |a| + |b| - 2 a.b with the inner product on the MXU —
+    int8 bit planes (0/1 values are exact; int8 MXU throughput is 2x bf16,
+    accumulation in int32).
     """
-    a = unpack_bits(desc_a).astype(jnp.bfloat16)
-    b = unpack_bits(desc_b).astype(jnp.bfloat16)
+    a = unpack_bits(desc_a).astype(jnp.int8)
+    b = unpack_bits(desc_b).astype(jnp.int8)
     dot = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
-    pop_a = jnp.sum(a.astype(jnp.float32), axis=-1)
-    pop_b = jnp.sum(b.astype(jnp.float32), axis=-1)
-    return pop_a[:, None] + pop_b[None, :] - 2.0 * dot
+    pop_a = jnp.sum(a.astype(jnp.int32), axis=-1)
+    pop_b = jnp.sum(b.astype(jnp.int32), axis=-1)
+    return (pop_a[:, None] + pop_b[None, :] - 2 * dot).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("nn_ratio",))

@@ -104,3 +104,26 @@ def chol3x3(A: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
         ],
         -2,
     )
+
+
+def solve6x6_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched solve of SPD [..., 6, 6] x [..., 6] via a 3x3-block Schur
+    complement (pivot-free; valid for the damped Gauss-Newton normal
+    matrices used here). Pure VPU math — ``jnp.linalg.solve`` lowers
+    batched tiny systems to LU loops that serialize on TPU."""
+    P = A[..., :3, :3]
+    Q = A[..., :3, 3:]
+    R = A[..., 3:, :3]
+    S = A[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    Pi = inv3x3(P)
+    RPi = R @ Pi
+    M = S - RPi @ Q
+    Mi = inv3x3(M)
+    y2 = jnp.einsum("...ij,...j->...i", Mi,
+                    b2 - jnp.einsum("...ij,...j->...i", RPi, b1))
+    y1 = jnp.einsum(
+        "...ij,...j->...i", Pi, b1 - jnp.einsum("...ij,...j->...i", Q, y2)
+    )
+    return jnp.concatenate([y1, y2], axis=-1)
