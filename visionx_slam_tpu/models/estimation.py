@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.camera import CameraParams
+from ..ops.linalg import solve6x6_spd
 from ..ops.se3 import (
     Pose,
     matrix_to_quat,
@@ -90,7 +91,7 @@ def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
     if d == 4:
         # hot path (per-correspondence triangulation): closed-form solve —
         # batched LU on [N,4,4] schedules pathologically on TPU
-        from ..ops.linalg import solve6x6_spd, solve4x4
+        from ..ops.linalg import solve4x4
 
         for _ in range(2):
             v0 = solve4x4(Ms, v0)
