@@ -12,6 +12,8 @@ reprojection error."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from visionx_slam_tpu.data import synthetic
 from visionx_slam_tpu.system.system import System
 from visionx_slam_tpu.utils.config import SystemConfig

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from visionx_slam_tpu.data import synthetic, tum
 from visionx_slam_tpu.eval import trajectory as traj
 from visionx_slam_tpu.ops.camera import make_camera

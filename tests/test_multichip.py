@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from visionx_slam_tpu.models.local_ba import BAOptions
 from visionx_slam_tpu.ops.camera import make_camera
 from visionx_slam_tpu.parallel import batch as pb

@@ -5,6 +5,8 @@ config 5)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from visionx_slam_tpu.data import synthetic, tum
 from visionx_slam_tpu.eval import trajectory as traj
 from visionx_slam_tpu.ops.camera import make_camera

@@ -19,6 +19,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from visionx_slam_tpu.data import synthetic, tum
 from visionx_slam_tpu.eval import trajectory as traj
 from visionx_slam_tpu.system.system import System

@@ -112,7 +112,7 @@ def build_offline_pipeline(
     *,
     n_features_cap: int = 1024,
     kf_capacity: int = 128,
-    lm_capacity: int = 1 << 17,
+    lm_capacity: int | None = None,
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
     pair_chunk: int = 32,
@@ -123,6 +123,11 @@ def build_offline_pipeline(
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
     leading sequence axis."""
+    if lm_capacity is None:
+        # K*N is the exact worst case of the contiguous cumsum allocator in
+        # build_keyframe_map: sized to it, lm_dropped == 0 is guaranteed at
+        # any keyframe/feature occupancy
+        lm_capacity = kf_capacity * n_features_cap
     orb_kwargs = dict(orb_kwargs or {})
     orb_kwargs.setdefault("n_slots", n_features_cap)
     N = n_features_cap
@@ -626,7 +631,7 @@ def run_offline_pipeline(
     opts: TrackingOptions,
     n_features_cap: int = 1024,
     kf_capacity: int = 128,
-    lm_capacity: int = 1 << 17,
+    lm_capacity: int | None = None,
     orb_kwargs: dict | None = None,
     extract_chunk: int = 8,
     pair_chunk: int = 32,
@@ -671,13 +676,17 @@ def run_offline_pipeline_batched(
     # r0..r4 on fr-class synthetic; bump for harder data)
     kw.setdefault("refine_iterations", 2)
     kw.setdefault("gba_cg_iterations", 12)
+    kw.setdefault("n_features_cap", 1024)
+    kw.setdefault("pnp_hypotheses", 16)
+    # K*N is the allocator's exact worst case: sized to it, lm_dropped == 0
+    # is guaranteed (capacity below it drops silently but for lm_dropped)
+    kw.setdefault("lm_capacity", kw["kf_capacity"] * kw["n_features_cap"])
     fn = _compiled_offline(
         opts_key,
-        kw.get("n_features_cap", 1024), kw.get("kf_capacity", 128),
-        kw.get("lm_capacity", 1 << 17),
+        kw["n_features_cap"], kw["kf_capacity"], kw["lm_capacity"],
         tuple(sorted((kw.get("orb_kwargs") or {}).items())),
-        kw["extract_chunk"], kw["pair_chunk"], kw.get("pnp_hypotheses", 16),
-        kw.get("refine_iterations", 4), batched=True,
-        gba_cg_iterations=kw.get("gba_cg_iterations", 25),
+        kw["extract_chunk"], kw["pair_chunk"], kw["pnp_hypotheses"],
+        kw["refine_iterations"], batched=True,
+        gba_cg_iterations=kw["gba_cg_iterations"],
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
