@@ -407,15 +407,25 @@ class System:
 
         ms = self.tracker.ms
         extra = {}
+        links = None
         if len(self._archive) > int(msl.n_keyframes(ms)):
             self._harvest_keyframes(ms)  # catch the final chunk
-            ms = self._archive_union_map()
+            ms, links = self._archive_union_map()
             extra["archived_keyframes"] = len(self._archive)
         err0, n_obs = map_reproj_error(ms, self.cam)
-        ms2, stats = global_ba(
-            ms, self.cam,
-            GlobalBAOptions(max_iterations=self.cfg.global_ba_iterations),
-        )
+        gba_opts = GlobalBAOptions(
+            max_iterations=self.cfg.global_ba_iterations)
+        if links is not None:
+            # archive maps come from build_keyframe_map, whose pairwise
+            # observation structure enables the fast structured solver
+            from ..models.pair_ba import pair_ba
+
+            ms2, stats = pair_ba(ms, self.cam, links, gba_opts)
+        else:
+            # the online ring map has a general observation graph
+            # (re-tracked features point at landmarks across many
+            # keyframes) — use the general solver
+            ms2, stats = global_ba(ms, self.cam, gba_opts)
         err1, _ = map_reproj_error(ms2, self.cam)
         extra["mean_reproj_before_px"] = float(err0)
         extra["mean_reproj_after_px"] = float(err1)
@@ -445,9 +455,10 @@ class System:
 
     # ------------------------------------------------------------------
     def _archive_union_map(self):
-        """Rebuild a MapState over EVERY archived keyframe (ids ascending)
-        via the batched keyframe-map builder shared with the offline
-        pipeline: depth landmarks + consecutive-pair observation links."""
+        """Rebuild a (MapState, PairLinks) over EVERY archived keyframe
+        (ids ascending) via the batched keyframe-map builder shared with
+        the offline pipeline: depth landmarks + consecutive-pair
+        observation links."""
         import jax.numpy as jnp
 
         from ..tracking.offline_pipeline import build_keyframe_map

@@ -50,8 +50,9 @@ import jax.numpy as jnp
 
 from ..models import matching
 from ..models.estimation import pnp_ransac
-from ..models.global_ba import GlobalBAOptions, global_ba
+from ..models.global_ba import GlobalBAOptions
 from ..models.orb_jax import orb_extract
+from ..models.pair_ba import PairLinks, pair_ba
 from ..ops.camera import CameraParams, backproject
 from ..ops.se3 import (
     Pose,
@@ -316,7 +317,7 @@ def build_offline_pipeline(
         )
         kf_t = kf_abs.t
 
-        ms = build_keyframe_map(
+        ms, links = build_keyframe_map(
             cam, opts, kf_q, kf_t, jnp.where(kvalid, sel, -1),
             kf_px, kf_desc, kf_fvalid, kf_depth, lm_capacity,
             pair_chunk=pair_chunk,
@@ -327,17 +328,20 @@ def build_offline_pipeline(
             n_inl=n_inl, n_matches=n_matches, parallax=parallax,
             is_kf=is_kf, px=px, desc=desc, valid=valid, dfeat=dfeat,
         )
-        return ms, aux
+        return ms, links, aux
 
     gba_opts = GlobalBAOptions(
         max_iterations=max(refine_iterations, 1),
         cg_iterations=gba_cg_iterations,
     )
 
-    def run_refine(cam: CameraParams, ms: MapState) -> MapState:
-        # kept OUT of run_pre so the batched path can lax.map it per lane:
-        # the PCG's gathers/scatters degrade badly under a lane vmap
-        ms, _ = global_ba(ms, cam, gba_opts)
+    def run_refine(cam: CameraParams, ms: MapState,
+                   links: PairLinks) -> MapState:
+        # pair_ba: the offline map's <= 2-obs-per-landmark structure lets
+        # the Schur solve run entirely in dense [K,N] creation-slot space
+        # (no argsort / scatter / landmark table — ~7x faster than the
+        # general global_ba at K=128, N=1024)
+        ms, _ = pair_ba(ms, cam, links, gba_opts)
         return ms
 
     def run_post(cam: CameraParams, ms: MapState, aux: dict):
@@ -435,9 +439,9 @@ def build_offline_pipeline(
         return ms, out
 
     def run(cam: CameraParams, images_u8, depths_m):
-        ms, aux = run_pre(cam, images_u8, depths_m)
+        ms, links, aux = run_pre(cam, images_u8, depths_m)
         if refine_iterations > 0:
-            ms = run_refine(cam, ms)
+            ms = run_refine(cam, ms, links)
         return run_post(cam, ms, aux)
 
     run.pre, run.refine, run.post = run_pre, run_refine, run_post
@@ -517,17 +521,34 @@ def build_keyframe_map(
     # multi-view observations for BA (two-view DLT creation is unnecessary
     # here — depth already fixes the geometry; what BA needs is the
     # observation links)
-    return _link_consecutive_keyframes(ms, cam, opts, pair_chunk)
+    ms, adopter, creator = _link_consecutive_keyframes(
+        ms, cam, opts, pair_chunk
+    )
+    links = PairLinks(
+        created=ok_alloc.reshape(K, N),
+        adopter=adopter,
+        creator=creator,
+        order=order,
+        sidx=sidx,
+    )
+    return ms, links
 
 
 def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
-                                opts: TrackingOptions,
-                                pair_chunk: int = 16) -> MapState:
+                                opts: TrackingOptions, pair_chunk: int = 16):
     """Give landmarks multi-view observation links: match each keyframe to
     its successor and point the successor's matched features at the
     predecessor's landmarks (the observation structure the reference builds
     via TriangulateWithLastKeyFrame + depth creation, tracking.cpp:856-929).
-    One batched match over all consecutive keyframe pairs."""
+    One batched match over all consecutive keyframe pairs.
+
+    Because ``lm_prev`` is read from the PRE-adoption table, adoption never
+    chains: every landmark ends with <= 2 observations (creation + at most
+    one adopter in the NEXT keyframe). Returns ``(ms, adopter, creator)``
+    [K,N] int32 link tables exposing that structure (see
+    models/pair_ba.PairLinks): ``adopter[k,n]`` = the kf k+1 feature
+    observing the landmark of slot (k,n), or -1; ``creator[k,m]`` = the
+    kf k-1 slot whose landmark feature (k,m) adopted, or -1."""
     K = ms.kf_capacity
 
     res = _chunked_vmap(
@@ -588,12 +609,33 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
     )(lm_next, rows_sorted, links_sorted)
     kf_feat_lm = ms.kf_feat_lm.at[1:].set(new_next)
 
+    # pairwise link tables (structure consumed by models/pair_ba): the
+    # same row-sorted scatter, carrying the QUERY slot index instead of
+    # the landmark id
+    qidx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], adopt.shape
+    )
+    qidx_sorted = jnp.take_along_axis(
+        jnp.where(adopt, qidx, -1), row_order, axis=1
+    )
+    creator_rows = jax.vmap(
+        lambda rr, vv: jnp.full((N,), -1, jnp.int32).at[rr].set(
+            vv, indices_are_sorted=True, mode="drop")
+    )(rows_sorted, qidx_sorted)
+    creator = jnp.concatenate(
+        [jnp.full((1, N), -1, jnp.int32), creator_rows]
+    )
+    adopter = jnp.concatenate(
+        [jnp.where(adopt, res.idx, -1).astype(jnp.int32),
+         jnp.full((1, N), -1, jnp.int32)]
+    )
+
     # observation counts: +1 per adopted link
     flat = jnp.sort(jnp.where(adopt, lmi, L).reshape(-1))
     lm_obs = ms.lm_obs.at[flat].add(
         jnp.int32(1), indices_are_sorted=True, mode="drop"
     )
-    return ms._replace(kf_feat_lm=kf_feat_lm, lm_obs=lm_obs)
+    return ms._replace(kf_feat_lm=kf_feat_lm, lm_obs=lm_obs), adopter, creator
 
 
 @lru_cache(maxsize=4)
@@ -613,12 +655,14 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
     )
     if batched:
         def run_batched(cam, imgs, deps):
-            ms, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, imgs, deps)
+            ms, links, aux = jax.vmap(
+                run.pre, in_axes=(None, 0, 0))(cam, imgs, deps)
             if refine_iterations > 0:
-                # per-lane sequential GBA: the matrix-free PCG's sorted
-                # segment scatters/gathers lose their fast path under a
-                # lane vmap (measured ~2.5x worse than even serialized)
-                ms = jax.lax.map(lambda m: run.refine(cam, m), ms)
+                # pair_ba is all dense link passes — it vmaps cleanly over
+                # lanes (unlike the old scatter-based global_ba, which had
+                # to run per-lane via lax.map)
+                ms = jax.vmap(run.refine, in_axes=(None, 0, 0))(
+                    cam, ms, links)
             return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
         return jax.jit(run_batched)
     return jax.jit(run)
