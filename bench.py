@@ -23,7 +23,22 @@ Measurement rules (this bench is built not to lie):
   MEDIAN (best-of-N would reward cache flukes).
 
 Flags: --quick (CPU smoke), --frames N, --runs N, --extractor jax|opencv,
---pipeline scan|host, --batch B (multi-sequence throughput mode).
+--pipeline scan|host, --batch B (multi-sequence throughput mode),
+--no-configs (headline only: skip the per-BASELINE-config blocks).
+
+The default (flagless) invocation — what the round driver runs — emits the
+headline offline number PLUS a ``detail.configs`` block with one entry per
+BASELINE.json evaluation config:
+
+1. stock online run   (scan pipeline — the reference's own loop shape,
+                       system.cpp:38-53)
+2. monocular          (zero-depth scan: essential init + triangulation)
+3. long sequence      (1200 frames through the scan path, culling active)
+4. full-map global BA (pair_ba + general global_ba ms/solve on a K=128 map)
+5. batched offline    (8 x 120-frame sequences vmapped on one chip)
+
+Each config is fault-isolated: a tunnel fault in one records an "error"
+entry without sinking the artifact.
 """
 
 from __future__ import annotations
@@ -85,6 +100,209 @@ def _ate_from_outs(outs, gts):
     return traj.ate_rmse(est, gts[tracked]), int(tracked.sum())
 
 
+def _time_device_loop(run_fn, fence_of, gd, dd, n_frames, runs):
+    """Median-of-N device-loop timing with varied staged inputs and a
+    dependent scalar fence (see module docstring measurement rules)."""
+    import jax.numpy as jnp
+
+    outs = run_fn(gd, dd)                       # warmup / compile
+    _ = float(fence_of(outs))
+    times = []
+    for i in range(runs):
+        g_i = gd.at[(0,) * (gd.ndim - 2) + (0, 0)].set(jnp.uint8(i + 1))
+        g_i.block_until_ready()
+        t0 = time.perf_counter()
+        outs = run_fn(g_i, dd)
+        _ = float(fence_of(outs))
+        times.append(time.perf_counter() - t0)
+    return _median_stats(times, n_frames), outs
+
+
+def _bench_configs(cam, opts, gd, dd, gts, runs):
+    """The five BASELINE.json evaluation configs, each fault-isolated.
+
+    All inputs derive ON DEVICE from the already-staged 240-frame sequence
+    (one exact trajectory loop, so tiling is continuous motion): the
+    environment's 3-30 MB/s tunnel makes fresh uploads the one thing a
+    chip benchmark must not measure (PERF.md)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from visionx_slam_tpu.eval import trajectory as traj
+    from visionx_slam_tpu.tracking.scan_pipeline import (
+        run_scan_pipeline, run_scan_pipeline_batched,
+    )
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        run_offline_pipeline_batched,
+    )
+
+    T = int(gd.shape[0])
+    configs = {}
+
+    def scan_ate(outs, gt, with_scale=False):
+        tracked = np.asarray(outs.tracked)
+        poses = np.asarray(outs.pose)
+        if tracked.sum() < 3:
+            return None
+        est = np.asarray([traj.tcw_to_twc(poses[i])[:3, 3]
+                          for i in range(len(tracked)) if tracked[i]])
+        return traj.ate_rmse(est, gt[tracked], with_scale=with_scale)
+
+    # ---- 1. stock online run: the reference's own loop shape ----
+    try:
+        def run1(g, d):
+            _, outs = run_scan_pipeline(cam, g, d, opts)
+            return outs
+        stats, outs = _time_device_loop(
+            run1, lambda o: jnp.sum(o.n_inliers), gd, dd, T, runs)
+        configs["1_online_scan"] = {
+            "fps": stats["fps_median"], "n_frames": T,
+            "tracked_frac": float(np.asarray(outs.tracked).mean()),
+            "ate_rmse_m": scan_ate(outs, gts),
+        }
+    except Exception as e:  # tunnel faults must not sink the artifact
+        configs["1_online_scan"] = {"error": repr(e)[:200]}
+
+    # ---- 2. monocular: zero depth -> essential init + triangulation.
+    # Every 4th frame: fr1-speed 15 mm steps starve the parallax gate
+    # (the reference behaves identically); 4x stride gives real baselines.
+    try:
+        g2 = gd[::4]
+        d2 = jnp.zeros(g2.shape, jnp.float32)
+        T2 = int(g2.shape[0])
+
+        def run2(g, d):
+            _, outs = run_scan_pipeline(cam, g, d, opts)
+            return outs
+        stats, outs = _time_device_loop(
+            run2, lambda o: jnp.sum(o.n_inliers), g2, d2, T2, runs)
+        configs["2_monocular"] = {
+            "fps": stats["fps_median"], "n_frames": T2,
+            "tracked_frac": float(np.asarray(outs.tracked).mean()),
+            "ate_rmse_m_scale_aligned": scan_ate(outs, gts[::4],
+                                                 with_scale=True),
+            "note": "mono scale is unobservable: ATE after similarity "
+                    "alignment (reference has no scale correction either)",
+        }
+    except Exception as e:
+        configs["2_monocular"] = {"error": repr(e)[:200]}
+
+    # ---- 3. long sequence: 5 continuous loops = 1200 frames through the
+    # online scan (keyframe ring eviction + landmark culling/compaction
+    # active throughout) ----
+    try:
+        reps = 5
+        g3 = jnp.tile(gd, (reps, 1, 1))
+        d3 = jnp.tile(dd, (reps, 1, 1))
+        T3 = T * reps
+        gt3 = np.tile(gts, (reps, 1))
+
+        def run3(g, d):
+            _, outs = run_scan_pipeline(cam, g, d, opts)
+            return outs
+        stats, outs = _time_device_loop(
+            run3, lambda o: jnp.sum(o.n_inliers), g3, d3, T3,
+            max(2, runs - 1))
+        configs["3_long_sequence"] = {
+            "fps": stats["fps_median"], "n_frames": T3,
+            "tracked_frac": float(np.asarray(outs.tracked).mean()),
+            "ate_rmse_m": scan_ate(outs, gt3),
+            "n_keyframes": int(np.asarray(outs.n_keyframes)[-1]),
+            "n_landmarks": int(np.asarray(outs.n_landmarks)[-1]),
+        }
+    except Exception as e:
+        configs["3_long_sequence"] = {"error": repr(e)[:200]}
+
+    # ---- 4. full-map global BA: ms/solve of both solvers on the offline-
+    # built K=128 map (pair_ba = structured pairwise Schur; global_ba =
+    # general sorted-scatter PCG Schur) ----
+    try:
+        import jax
+
+        from visionx_slam_tpu.models.global_ba import (
+            GlobalBAOptions, global_ba,
+        )
+        from visionx_slam_tpu.models.pair_ba import pair_ba
+        from visionx_slam_tpu.tracking import mapstate as msl
+        from visionx_slam_tpu.tracking.offline_pipeline import (
+            build_offline_pipeline,
+        )
+
+        run = build_offline_pipeline(None, opts)
+        pre = jax.jit(lambda g, d: run.pre(cam, g, d))
+        ms, links, _aux = pre(gd, dd)
+        jax.block_until_ready(ms.kf_t)
+        gba_opts = GlobalBAOptions(max_iterations=2, cg_iterations=12)
+        entry = {}
+        for name, fn in (
+            ("pair_ba", jax.jit(lambda m: pair_ba(m, cam, links,
+                                                  gba_opts))),
+            ("global_ba", jax.jit(lambda m: global_ba(m, cam, gba_opts))),
+        ):
+            out0, _ = fn(ms)                    # compile
+            jax.block_until_ready(out0.kf_t)
+            ts = []
+            for i in range(runs):
+                m_i = ms._replace(kf_t=ms.kf_t + jnp.float32(i) * 1e-7)
+                jax.block_until_ready(m_i.kf_t)
+                t0 = time.perf_counter()
+                out, stats_ba = fn(m_i)
+                _ = float(jnp.sum(out.kf_t))
+                ts.append(time.perf_counter() - t0)
+            entry[name + "_ms_per_solve"] = round(
+                statistics.median(ts) * 1e3, 2)
+        entry.update(
+            n_keyframes=int(msl.n_keyframes(ms)),
+            n_landmarks=int(msl.n_landmarks(ms)),
+            gn_iterations=2, cg_iterations=12,
+        )
+        configs["4_fullmap_gba"] = entry
+    except Exception as e:
+        configs["4_fullmap_gba"] = {"error": repr(e)[:200]}
+
+    # ---- 5. batched offline mapping: 8 staggered 120-frame windows of
+    # the loop, vmapped on one chip; aggregate fps is the metric ----
+    try:
+        import jax
+
+        B, Tw = 8, 120
+        starts = [(k * T) // B for k in range(B)]
+        g2x = jnp.tile(gd, (2, 1, 1))           # windows may wrap the loop
+        d2x = jnp.tile(dd, (2, 1, 1))
+        g5 = jnp.stack([jax.lax.dynamic_slice_in_dim(g2x, s, Tw)
+                        for s in starts])
+        d5 = jnp.stack([jax.lax.dynamic_slice_in_dim(d2x, s, Tw)
+                        for s in starts])
+
+        def run5(g, d):
+            _, outs = run_offline_pipeline_batched(cam, g, d, opts)
+            return outs
+        stats, outs = _time_device_loop(
+            run5, lambda o: jnp.sum(o.n_inliers), g5, d5, B * Tw, runs)
+        tracked = np.asarray(outs.tracked)
+        poses = np.asarray(outs.pose)
+        gt2 = np.tile(gts, (2, 1))
+        ates = []
+        for b in range(B):
+            sel = tracked[b]
+            if sel.sum() >= 3:
+                est = np.asarray([traj.tcw_to_twc(poses[b, t])[:3, 3]
+                                  for t in range(Tw) if sel[t]])
+                ates.append(traj.ate_rmse(
+                    est, gt2[starts[b]:starts[b] + Tw][sel]))
+        configs["5_batched_offline"] = {
+            "aggregate_fps": stats["fps_median"], "batch": B,
+            "frames_per_seq": Tw,
+            "per_stream_fps": round(stats["fps_median"] / B, 2),
+            "tracked_frac": float(tracked.mean()),
+            "ate_rmse_m_mean": float(np.mean(ates)) if ates else None,
+        }
+    except Exception as e:
+        configs["5_batched_offline"] = {"error": repr(e)[:200]}
+
+    return configs
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("bench")
     p.add_argument("--quick", action="store_true", help="tiny CPU smoke run")
@@ -95,6 +313,8 @@ def main(argv=None) -> int:
                    choices=["offline", "scan", "host"])
     p.add_argument("--batch", type=int, default=0,
                    help="batched throughput mode: B sequences in parallel on one chip")
+    p.add_argument("--no-configs", action="store_true",
+                   help="headline only; skip the per-BASELINE-config blocks")
     args = p.parse_args(argv)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
@@ -174,6 +394,9 @@ def main(argv=None) -> int:
                     "environment's ~3-30 MB/s tunnel transfer, see PERF.md",
         },
     }
+    if not args.quick and not args.no_configs and args.pipeline == "offline":
+        result["detail"]["configs"] = _bench_configs(
+            cam, opts, gd, dd, gts, runs=max(2, min(runs, 3)))
     print(json.dumps(result))
     return 0
 

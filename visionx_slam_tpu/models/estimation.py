@@ -36,6 +36,7 @@ from ..ops.se3 import (
     se3_apply,
     se3_exp,
     se3_compose,
+    so3_exp as _so3_exp_quat,
     so3_hat,
 )
 
@@ -152,6 +153,93 @@ def _triangulate_norm(R, t, x1, x2):
     return X, z1, z2
 
 
+def _two_ray_depths(R, t, h1, h2):
+    """Closed-form two-view depths: least-squares (z1, z2) of
+    z1 R x1 + t = z2 x2 per correspondence (2x2 normal equations).
+    Exact for cheirality sign / distance-gate tests at a fraction of the
+    DLT cost; h1, h2: [N,3] homogeneous normalized coords."""
+    a = h1 @ R.T                       # [N,3] rotated rays
+    aa = jnp.sum(a * a, axis=-1)
+    bb = jnp.sum(h2 * h2, axis=-1)
+    ab = jnp.sum(a * h2, axis=-1)
+    at = a @ t
+    bt = h2 @ t
+    # minimize ||z1 a - z2 b + t||^2:
+    #   [aa -ab][z1]   [-at]
+    #   [-ab bb][z2] = [-bt] * (-1 on second row sign bookkeeping)
+    det = aa * bb - ab * ab
+    inv_det = jnp.where(jnp.abs(det) > 1e-18, 1.0 / det, 0.0)
+    z1 = (-bb * at + ab * bt) * inv_det
+    z2 = (-ab * at + aa * bt) * inv_det
+    return z1, z2
+
+
+def _refine_essential_pose(R0, t0, h1, h2, w, iters: int = 10):
+    """GN refinement of (R, t-direction) on the Sampson error.
+
+    Why this exists: the 8-point solver's translation DIRECTION can be
+    far off while its Sampson consensus stays large (at small baselines
+    Sampson is nearly insensitive to t-direction error), and a bad
+    direction sends triangulated depths past the cheirality distance
+    gate — measured on synthetic fr-class pairs: 455-strong Sampson
+    consensus collapsing to 20 cheirality inliers, where cv2's 5-point
+    keeps 452. Refining on the essential manifold (3 rotation + 2
+    t-tangent parameters, E = [t]x R) recovers the direction; OpenCV
+    gets the same effect from Nister's exact minimal solver.
+
+    w: [N] per-correspondence weights (the RANSAC consensus mask).
+    Returns (R, t) with unit-norm t.
+    """
+    f32 = h1.dtype
+
+    def tangent_basis(t):
+        # any orthonormal pair spanning t^perp (branch-free pick)
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0], f32),
+                      jnp.array([0.0, 1.0, 0.0], f32))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return b1, b2
+
+    def sampson(E):
+        Ex1 = h1 @ E.T
+        Etx2 = h2 @ E
+        num = jnp.sum(h2 * Ex1, axis=-1)
+        den = (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+               + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2)
+        return num / jnp.sqrt(jnp.maximum(den, 1e-18))
+
+    def step(carry, _):
+        R, t = carry
+        b1, b2 = tangent_basis(t)
+
+        def res(p):
+            Rp = quat_to_matrix(_so3_exp_quat(p[:3])) @ R
+            tp = t + p[3] * b1 + p[4] * b2
+            tp = tp / jnp.maximum(jnp.linalg.norm(tp), 1e-12)
+            return sampson(so3_hat(tp) @ Rp)
+
+        p0 = jnp.zeros((5,), f32)
+        r = res(p0)
+        J = jax.jacfwd(res)(p0)                       # [N,5]
+        Jw = J * w[:, None]
+        H = J.T @ Jw                                  # [5,5]
+        g = Jw.T @ r
+        H6 = jnp.eye(6, dtype=f32).at[:5, :5].set(
+            H + 1e-8 * jnp.eye(5, dtype=f32))
+        g6 = jnp.concatenate([g, jnp.zeros((1,), f32)])
+        dp = -solve6x6_spd(H6, g6)[:5]
+        dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, jnp.zeros_like(dp))
+        Rn = quat_to_matrix(_so3_exp_quat(dp[:3])) @ R
+        tn = t + dp[3] * b1 + dp[4] * b2
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    return R, t
+
+
 @partial(jax.jit, static_argnames=("n_hypotheses",))
 def essential_ransac(
     cam: CameraParams,
@@ -173,6 +261,20 @@ def essential_ransac(
     Nister 5-point (SURVEY.md §7.5: per-hypothesis eigh is TPU-friendlier);
     the fixed 256-hypothesis budget exceeds the adaptive-iteration count
     the reference's 0.999 confidence typically settles at.
+
+    Hypotheses are scored by CHEIRALITY-GATED consensus (Sampson inlier
+    AND both two-ray depths positive AND within the 50-unit gate), not by
+    Sampson alone. This matters on plane-dominated views: a dominant
+    homography H admits a 2-parameter family of essentials that all fit
+    the plane's correspondences to sub-pixel Sampson error but differ
+    wildly in translation direction — measured on synthetic fr-class
+    pairs, Sampson-only selection picked a family member with t nearly
+    orthogonal to the truth (455-strong Sampson consensus, 20 cheirality
+    survivors, vs cv2's 452). Depth signs separate the family members;
+    scoring with them recovers the cv2-grade consensus. A final GN
+    Sampson polish on the essential manifold (_refine_essential_pose)
+    sharpens the winner, accepted only if the gated consensus does not
+    drop.
     """
     x1 = _normalize_px(cam, px_last)
     x2 = _normalize_px(cam, px_curr)
@@ -186,52 +288,59 @@ def essential_ransac(
     thresh_norm = thresh_px / (0.5 * (cam.fx + cam.fy))
     d2 = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es)  # [H,N]
     inl = (d2 < thresh_norm**2) & valid[None, :]
-    counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
+
+    # decompose every hypothesis (the 3x3 SVD is already paid per
+    # hypothesis for the manifold projection in _eight_point)
+    def decompose(E):
+        U, _, Vt = jnp.linalg.svd(E)
+        U = U * jnp.sign(jnp.linalg.det(U))
+        Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+        W = jnp.array(
+            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype
+        )
+        tu = U[:, 2]
+        tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
+        return U @ W @ Vt, U @ W.T @ Vt, tu
+
+    Ras, Rbs, tus = jax.vmap(decompose)(Es)
+
+    def cheir_counts(R, t, inl_h):
+        """Gated consensus for one (R, t) candidate: two-ray depth signs
+        (closed-form 2x2 least squares of z1 R x1 + t = z2 x2 — far
+        cheaper than DLT, exact for sign/gate purposes)."""
+        z1, z2 = _two_ray_depths(R, t, h1, h2)
+        good = inl_h & (z1 > 0) & (z2 > 0) & (z1 < 50.0)
+        return jnp.sum(good), good
+
+    def score_hyp(Ra, Rb, tu, inl_h):
+        cands = ((Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu))
+        counts, goods = zip(*(cheir_counts(R, t, inl_h) for R, t in cands))
+        counts = jnp.stack(counts)
+        ci = jnp.argmax(counts)
+        Rc = jnp.stack([c[0] for c in cands])[ci]
+        tc = jnp.stack([c[1] for c in cands])[ci]
+        return counts[ci], Rc, tc, jnp.stack(goods)[ci]
+
+    scores, Rcs, tcs, goods = jax.vmap(score_hyp)(Ras, Rbs, tus, inl)
+    best = jnp.argmax(scores)
     E = Es[best]
-    mask = inl[best]
+    R = Rcs[best]
+    t = tcs[best]
+    mask = goods[best]            # cheirality-gated Sampson consensus
 
-    # least-squares refit of E on the winning consensus set (the analog of
-    # OpenCV's post-RANSAC model refinement): keep it only if it does not
-    # lose inliers
-    rows = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9)  # [N,9]
-    w_rows = jnp.where(mask[:, None], rows, 0.0)
-    AtA = w_rows.T @ w_rows
-    e_fit = _smallest_eigvec(AtA).reshape(3, 3)
-    Uf, Sf, Vtf = jnp.linalg.svd(e_fit)
-    E_fit = Uf @ jnp.diag(jnp.array([1.0, 1.0, 0.0], e_fit.dtype)) @ Vtf
-    mask_fit = (_sampson_sq(E_fit, h1, h2) < thresh_norm**2) & valid
-    better = jnp.sum(mask_fit) >= jnp.sum(mask)
-    E = jnp.where(better, E_fit, E)
-    mask = jnp.where(better, mask_fit, mask)
-
-    # --- recoverPose: 4 candidate decompositions, cheirality voting ---
-    U, S, Vt = jnp.linalg.svd(E)
-    # keep proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    Ra = U @ W @ Vt
-    Rb = U @ W.T @ Vt
-    tu = U[:, 2]
-    tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
-
-    def vote(R, t):
-        X, z1, z2 = _triangulate_norm(R, t, x1, x2)
-        finite = jnp.all(jnp.isfinite(X), axis=-1)
-        near = jnp.abs(X[:, 2]) < 50.0  # OpenCV recoverPose distance gate
-        good = (z1 > 0) & (z2 > 0) & finite & near & mask
-        return good, jnp.sum(good)
-
-    cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
-    goods, votes = zip(*(vote(R, t) for R, t in cands))
-    votes = jnp.stack(votes)
-    goods = jnp.stack(goods)
-    ci = jnp.argmax(votes)
-    R = jnp.stack([c[0] for c in cands])[ci]
-    t = jnp.stack([c[1] for c in cands])[ci]
-    cheir_mask = goods[ci]
-    n_inliers = votes[ci].astype(jnp.int32)
+    # GN Sampson polish on the essential manifold (see
+    # _refine_essential_pose), accepted only if the gated consensus holds
+    Rr, tr = _refine_essential_pose(
+        R0=R, t0=t, h1=h1, h2=h2, w=mask.astype(h1.dtype))
+    E_ref = so3_hat(tr) @ Rr
+    inl_ref = (_sampson_sq(E_ref, h1, h2) < thresh_norm**2) & valid
+    n_ref, m_ref = cheir_counts(Rr, tr, inl_ref)
+    better = n_ref >= scores[best]
+    R = jnp.where(better, Rr, R)
+    t = jnp.where(better, tr, t)
+    E = jnp.where(better, E_ref, E)
+    cheir_mask = jnp.where(better, m_ref, mask)
+    n_inliers = jnp.sum(cheir_mask).astype(jnp.int32)
 
     ok = (n_inliers > 0) & jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
     return EssentialResult(R, t, E, cheir_mask, n_inliers, ok)

@@ -416,14 +416,11 @@ def orb_extract(
         cell_max = jnp.max(cells, axis=-1)
         cell_arg = jnp.argmax(cells, axis=-1)
         quota = quotas[lvl]
-        # approx_max_k: TPU-native binned top-k (exact top_k lowers to a
-        # full sort). Recall target 0.95: the tail of the per-level quota
-        # is interchangeable-quality corners (Harris scores there differ
-        # by <1%), so the selection is statistically equivalent — parity
-        # vs cv2.ORB is pinned by tests/test_orb_jax.py either way.
-        top, cidx = jax.lax.approx_max_k(
-            cell_max.reshape(-1), quota, recall_target=0.95
-        )
+        # exact top_k: approx_max_k (recall 0.95) was tried here and
+        # REGRESSED e2e 452 -> 335 fps — the ~5% different corner picks
+        # cascade into the keyframe policy (+25% keyframes -> more kf
+        # chain/link/GBA/retrack work), swamping the sort saving
+        top, cidx = jax.lax.top_k(cell_max.reshape(-1), quota)
         cy = (cidx // Wc).astype(jnp.int32)
         cx = (cidx % Wc).astype(jnp.int32)
         off_in = cell_arg.reshape(-1)[cidx].astype(jnp.int32)

@@ -32,11 +32,25 @@ Stages (all inside ONE jit):
    built map; non-keyframe poses are re-anchored to their preceding
    keyframe's refined pose (relative pose preserved).
 
-Scope: RGB-D only (relative pose needs depth); monocular sequences use
-the online pipeline. Tracking failure on a pair freezes that pair's
-relative pose at identity (flagged untracked) rather than re-initializing
-— the right behavior for offline mapping where later pairs are
-independent anyway.
+Tracking failure on a pair freezes that pair's relative pose at identity
+(flagged untracked) rather than re-initializing — the right behavior for
+offline mapping where later pairs are independent anyway.
+
+**Monocular mode** (``monocular=True``, BASELINE config 2): stage 3 swaps
+RGB-D PnP for essential-matrix RANSAC + two-view triangulation (the
+reference's init semantics, tracking.cpp:206-263, applied to EVERY pair),
+and the per-pair unit-baseline scale ambiguity is resolved by a scale
+chain: consecutive pairs share frame i+1's features, so the ratio of
+their triangulated depths for the shared features recovers s_{i+1}/s_i
+(robust median); one ``cumsum`` of log-ratios propagates scale from pair
+0 (the exact analog of the reference propagating scale through map
+depth — tracking.cpp has no other mechanism, so like the reference the
+chain accumulates scale drift). Triangulated depths then stand in for
+sensor depth in the keyframe map build, and the re-track stage runs PnP
+with DLT hypotheses (no depth). Pairs that are parallax-starved (< the
+essential inlier gate) freeze at identity exactly like RGB-D tracking
+failures. Everything downstream (keyframe policy, map build, pair_ba,
+re-track) is the shared code path.
 """
 
 from __future__ import annotations
@@ -49,14 +63,19 @@ import jax
 import jax.numpy as jnp
 
 from ..models import matching
-from ..models.estimation import pnp_ransac
-from ..models.global_ba import GlobalBAOptions
+from ..models.estimation import (
+    essential_ransac,
+    pnp_ransac,
+    triangulate_dlt,
+)
+from ..models.global_ba import GlobalBAOptions, global_ba
 from ..models.orb_jax import orb_extract
-from ..models.pair_ba import PairLinks, pair_ba
+from ..models.pair_ba import PairLinks
 from ..ops.camera import CameraParams, backproject
 from ..ops.se3 import (
     Pose,
     identity_pose,
+    matrix_to_quat,
     se3_apply,
     se3_compose,
     se3_inverse,
@@ -120,10 +139,13 @@ def build_offline_pipeline(
     pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
     gba_cg_iterations: int = 12,
+    monocular: bool = False,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
-    leading sequence axis."""
+    leading sequence axis. With ``monocular=True`` the depth input is
+    ignored (pass zeros) and poses/landmarks live in the VO scale frame
+    (see module docstring)."""
     if lm_capacity is None:
         # K*N is the exact worst case of the contiguous cumsum allocator in
         # build_keyframe_map: sized to it, lm_dropped == 0 is guaranteed at
@@ -197,11 +219,84 @@ def build_offline_pipeline(
             par = stages.parallax_px(pxq, pxt, m)
             return pose.q, pose.t, n_i, ok_i, n_m, par
 
-        rq, rt, n_inl, ok, n_matches, parallax = _chunked_vmap(
-            pair_track, pair_chunk,
-            desc[:-1], valid[:-1], desc[1:], valid[1:],
-            px[:-1], px[1:], dfeat[:-1], dfeat[1:], keys,
-        )  # rel = T_{i+1 <- i}
+        def pair_track_mono(dq, vq, dt, vt, pxq, pxt, key):
+            """Essential RANSAC + two-view triangulation for one pair.
+            Returns the unit-baseline relative pose plus the triangulated
+            depths feeding the scale chain (module docstring): zq = depth
+            of query feature n in the QUERY frame, zn = depth of its match
+            in the TRAIN frame (both in this pair's unit-baseline scale)."""
+            from ..models.estimation import _normalize_px
+
+            m = matching.match_frames(dq, vq, dt, vt)
+            px_n = pxt[m.idx]
+            sol = essential_ransac(cam, pxq, px_n, m.valid, key)
+            x1 = _normalize_px(cam, pxq)
+            x2 = _normalize_px(cam, px_n)
+            P1 = jnp.concatenate(
+                [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1))], 1
+            )
+            P2 = jnp.concatenate([sol.R, sol.t[:, None]], 1)
+            X = triangulate_dlt(P1, P2, x1, x2)       # [N,3] query camera
+            zq_tri = X[:, 2]
+            zn_tri = (X @ sol.R.T + sol.t[None, :])[:, 2]
+            # cheirality + the reference's 50-unit far gate
+            zgood = (
+                m.valid & sol.inlier_mask
+                & (zq_tri > 1e-3) & (zn_tri > 1e-3)
+                & (zq_tri < 50.0) & (zn_tri < 50.0)
+                & jnp.all(jnp.isfinite(X), axis=-1)
+            )
+            q = matrix_to_quat(sol.R)
+            ok_i = sol.ok & (sol.n_inliers >= opts.min_inliers)
+            n_m = jnp.sum(m.valid).astype(jnp.int32)
+            par = stages.parallax_px(pxq, pxt, m)
+            return (q, sol.t, sol.n_inliers, ok_i, n_m, par,
+                    jnp.where(zgood, zq_tri, 0.0),
+                    jnp.where(zgood, zn_tri, 0.0), m.idx)
+
+        if monocular:
+            (rq, rt, n_inl, ok, n_matches, parallax, zq_u, zn_u,
+             midx) = _chunked_vmap(
+                pair_track_mono, pair_chunk,
+                desc[:-1], valid[:-1], desc[1:], valid[1:],
+                px[:-1], px[1:], keys,
+            )  # rel = T_{i+1 <- i}, ||t|| = 1 per pair
+
+            # ---- scale chain: pair i-1 and pair i share frame i's
+            # features. d_in = zn_u[i-1][n] (scale s_{i-1}), d_out =
+            # zq_u[i][midx[i-1][n]] (scale s_i, gathered — no scatter);
+            # median log-ratio -> s_i/s_{i-1} ----
+            d_in = zn_u[:-1]                               # [T-2,N]
+            d_out = jnp.take_along_axis(zq_u[1:], midx[:-1], axis=1)
+            shared = (d_in > 0.0) & (d_out > 0.0)
+            logr = jnp.where(
+                shared, jnp.log(jnp.maximum(d_in, 1e-9))
+                - jnp.log(jnp.maximum(d_out, 1e-9)), jnp.nan,
+            )
+            n_shared = jnp.sum(shared, axis=1)
+            med = jnp.nan_to_num(jnp.nanmedian(logr, axis=1))
+            log_ratio = jnp.where(n_shared >= 8, med, 0.0)  # [T-2]
+            log_s = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32), jnp.cumsum(log_ratio)]
+            )                                               # [T-1]
+            # global gauge: median depth of pair 0 -> 2 m (the analog of
+            # the reference normalizing init median depth; keeps depths
+            # inside the map build's MIN/MAX_DEPTH gates)
+            med0 = jnp.nanmedian(jnp.where(zq_u[0] > 0, zq_u[0], jnp.nan))
+            c = 2.0 / jnp.maximum(jnp.nan_to_num(med0, nan=1.0), 1e-6)
+            s = jnp.exp(log_s) * c                          # [T-1]
+            rt = rt * s[:, None]
+            # synthesized per-feature depth (world scale) stands in for
+            # sensor depth downstream; last frame has no query pair -> 0
+            dfeat = jnp.concatenate(
+                [zq_u * s[:, None], jnp.zeros((1, N), jnp.float32)]
+            )
+        else:
+            rq, rt, n_inl, ok, n_matches, parallax = _chunked_vmap(
+                pair_track, pair_chunk,
+                desc[:-1], valid[:-1], desc[1:], valid[1:],
+                px[:-1], px[1:], dfeat[:-1], dfeat[1:], keys,
+            )  # rel = T_{i+1 <- i}
         ident = identity_pose()
         rel = Pose(
             jnp.where(ok[:, None], rq, ident.q[None]),
@@ -285,23 +380,27 @@ def build_offline_pipeline(
             pose, _, ok_i = pair_pose(pc, px_n, pvalid, key, d_n)
             return pose.q, pose.t, ok_i
 
-        rk_q, rk_t, ok_k = _chunked_vmap(
-            kf_pair_track, pair_chunk,
-            kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:],
-            kf_px[:-1], kf_px[1:], kf_depth[:-1], kf_depth[1:], keys_k,
-        )
-        rel_k = Pose(rk_q, rk_t)
         vo_kf_pose = Pose(poses.q[slot_frame], poses.t[slot_frame])  # [K]
         vo_rel = jax.vmap(
             lambda a_q, a_t, b_q, b_t: se3_compose(
                 Pose(b_q, b_t), se3_inverse(Pose(a_q, a_t)))
         )(vo_kf_pose.q[:-1], vo_kf_pose.t[:-1],
           vo_kf_pose.q[1:], vo_kf_pose.t[1:])
-        use_k = ok_k & kvalid[1:] & kvalid[:-1]
-        rel_k = Pose(
-            jnp.where(use_k[:, None], rel_k.q, vo_rel.q),
-            jnp.where(use_k[:, None], rel_k.t, vo_rel.t),
-        )
+        if monocular:
+            # a direct keyframe-pair PnP needs metric depth; mono keeps
+            # the composed VO-chain relative poses (pair_ba refines them)
+            rel_k = vo_rel
+        else:
+            rk_q, rk_t, ok_k = _chunked_vmap(
+                kf_pair_track, pair_chunk,
+                kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:],
+                kf_px[:-1], kf_px[1:], kf_depth[:-1], kf_depth[1:], keys_k,
+            )
+            use_k = ok_k & kvalid[1:] & kvalid[:-1]
+            rel_k = Pose(
+                jnp.where(use_k[:, None], rk_q, vo_rel.q),
+                jnp.where(use_k[:, None], rk_t, vo_rel.t),
+            )
         # chain elements: lane 0 carries the first slot's VO pose (the
         # anchor — identity unless the oldest keyframes were evicted),
         # lane j>0 the relative pose slot j-1 -> slot j
@@ -337,11 +436,14 @@ def build_offline_pipeline(
 
     def run_refine(cam: CameraParams, ms: MapState,
                    links: PairLinks) -> MapState:
-        # pair_ba: the offline map's <= 2-obs-per-landmark structure lets
-        # the Schur solve run entirely in dense [K,N] creation-slot space
-        # (no argsort / scatter / landmark table — ~7x faster than the
-        # general global_ba at K=128, N=1024)
-        ms, _ = pair_ba(ms, cam, links, gba_opts)
+        # global_ba, NOT pair_ba, despite pair_ba being 3.7x faster as a
+        # standalone dispatch (0.16 vs 0.57 ms/frame): compiled into the
+        # same XLA program as run_pre (fused or vmapped), pair_ba's CG
+        # link-gathers inherit pathological layouts and each matvec runs
+        # ~7x slower (measured: fused e2e 2.98 vs 2.17 ms/frame; batched
+        # 267 vs 422 aggregate fps). pair_ba still serves the standalone
+        # archive GBA dispatch in system.py, where the measured win holds.
+        ms, _ = global_ba(ms, cam, gba_opts)
         return ms
 
     def run_post(cam: CameraParams, ms: MapState, aux: dict):
@@ -403,7 +505,9 @@ def build_offline_pipeline(
             sol = pnp_ransac(
                 cam, p3, p2, pval, key, opts.max_reproj_error,
                 n_hypotheses=pnp_hypotheses, refine_iters=4,
-                init_pose=Pose(pq, pt), depth_curr=d2,
+                init_pose=Pose(pq, pt),
+                # mono: no sensor depth -> DLT hypothesis variant
+                depth_curr=None if monocular else d2,
             )
             ok_i = (
                 sol.ok
@@ -642,7 +746,7 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
 def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
                       orb_kwargs_tuple, extract_chunk, pair_chunk,
                       pnp_hypotheses, refine_iterations, batched=False,
-                      gba_cg_iterations=25):
+                      gba_cg_iterations=25, monocular=False):
     opts = TrackingOptions(**dict(opts_key))
     run = build_offline_pipeline(
         None, opts,
@@ -652,17 +756,19 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
         pnp_hypotheses=pnp_hypotheses,
         refine_iterations=refine_iterations,
         gba_cg_iterations=gba_cg_iterations,
+        monocular=monocular,
     )
     if batched:
         def run_batched(cam, imgs, deps):
             ms, links, aux = jax.vmap(
                 run.pre, in_axes=(None, 0, 0))(cam, imgs, deps)
             if refine_iterations > 0:
-                # pair_ba is all dense link passes — it vmaps cleanly over
-                # lanes (unlike the old scatter-based global_ba, which had
-                # to run per-lane via lax.map)
-                ms = jax.vmap(run.refine, in_axes=(None, 0, 0))(
-                    cam, ms, links)
+                # per-lane sequential GBA: BOTH solvers degrade under a
+                # lane vmap (global_ba's sorted segment scatters ~2.5x,
+                # pair_ba's link gathers ~7x — measured 422 vs 267
+                # aggregate fps at B=8), so refine runs per lane
+                ms = jax.lax.map(
+                    lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
             return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
         return jax.jit(run_batched)
     return jax.jit(run)
@@ -682,13 +788,14 @@ def run_offline_pipeline(
     pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
     gba_cg_iterations: int = 12,
+    monocular: bool = False,
 ) -> tuple[MapState, OfflineOut]:
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_offline(
         opts_key, n_features_cap, kf_capacity, lm_capacity,
         tuple(sorted((orb_kwargs or {}).items())), extract_chunk,
         pair_chunk, pnp_hypotheses, refine_iterations,
-        gba_cg_iterations=gba_cg_iterations,
+        gba_cg_iterations=gba_cg_iterations, monocular=monocular,
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
 
@@ -725,6 +832,7 @@ def run_offline_pipeline_batched(
     # K*N is the allocator's exact worst case: sized to it, lm_dropped == 0
     # is guaranteed (capacity below it drops silently but for lm_dropped)
     kw.setdefault("lm_capacity", kw["kf_capacity"] * kw["n_features_cap"])
+    kw.setdefault("monocular", False)
     fn = _compiled_offline(
         opts_key,
         kw["n_features_cap"], kw["kf_capacity"], kw["lm_capacity"],
@@ -732,5 +840,6 @@ def run_offline_pipeline_batched(
         kw["extract_chunk"], kw["pair_chunk"], kw["pnp_hypotheses"],
         kw["refine_iterations"], batched=True,
         gba_cg_iterations=kw["gba_cg_iterations"],
+        monocular=kw["monocular"],
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
