@@ -287,7 +287,12 @@ def essential_ransac(
 
     thresh_norm = thresh_px / (0.5 * (cam.fx + cam.fy))
     d2 = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es)  # [H,N]
-    inl = (d2 < thresh_norm**2) & valid[None, :]
+    # hypothesis SELECTION happens at a loose 4x threshold: at low inlier
+    # ratios no clean 8-sample exists (0.3^8 ~ 7e-5), and the best
+    # partially-contaminated sample is near the truth only in the WIDE
+    # basin — a tight gate rewards small locally-consistent junk models
+    # instead. The LO loop below anneals back down to 1x.
+    inl = (d2 < (4.0 * thresh_norm) ** 2) & valid[None, :]
 
     # decompose every hypothesis (the 3x3 SVD is already paid per
     # hypothesis for the manifold projection in _eight_point)
@@ -322,11 +327,60 @@ def essential_ransac(
         return counts[ci], Rc, tc, jnp.stack(goods)[ci]
 
     scores, Rcs, tcs, goods = jax.vmap(score_hyp)(Ras, Rbs, tus, inl)
-    best = jnp.argmax(scores)
-    E = Es[best]
-    R = Rcs[best]
-    t = tcs[best]
-    mask = goods[best]            # cheirality-gated Sampson consensus
+
+    # LO-RANSAC with threshold annealing (4x -> 1x), MULTI-START from the
+    # top-16 hypotheses: refit E on the current gated consensus (weighted
+    # 8-point LS), re-decompose, re-gate at the step's threshold, keep
+    # whichever model holds more. At 30 % inliers no clean 8-sample
+    # exists (0.3^8 ~ 7e-5 vs the reference Nister's 0.3^5 ~ 2.4e-3), so
+    # the recovery path is a MOSTLY-clean sample (~0.33 expected in the
+    # 256 budget) whose wide-basin consensus LO can walk to the truth —
+    # 16 starts cover the chance that the single loose-gate winner is
+    # junk. Each LO chain is a handful of [N,9] matmuls + one 3x3 SVD
+    # per step: noise next to the 256-hypothesis stage.
+    rows = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9)   # [N,9]
+    anneal = jnp.array([2.0, 1.4, 1.0, 1.0], h1.dtype) * thresh_norm
+
+    def gate_at(R_, t_, E_, thr):
+        inl_ = (_sampson_sq(E_, h1, h2) < thr**2) & valid
+        z1, z2 = _two_ray_depths(R_, t_, h1, h2)
+        m_ = inl_ & (z1 > 0) & (z2 > 0) & (z1 < 50.0)
+        return jnp.sum(m_), m_
+
+    def lo_step(carry, thr):
+        E_b, R_b, t_b, m_b = carry
+        w_rows = jnp.where(m_b[:, None], rows, 0.0)
+        e_fit = _smallest_eigvec(w_rows.T @ w_rows).reshape(3, 3)
+        Uf, _, Vtf = jnp.linalg.svd(e_fit)
+        E_f = Uf @ jnp.diag(jnp.array([1.0, 1.0, 0.0], e_fit.dtype)) @ Vtf
+        Ra_f, Rb_f, tu_f = decompose(E_f)
+        inl_f = (_sampson_sq(E_f, h1, h2) < thr**2) & valid
+        n_f, R_f, t_f, m_f = score_hyp(Ra_f, Rb_f, tu_f, inl_f)
+        # re-score the carried model at THIS threshold so the comparison
+        # is apples-to-apples as the gate tightens
+        n_b, m_b2 = gate_at(R_b, t_b, E_b, thr)
+        take = n_f >= n_b
+        return (
+            jnp.where(take, E_f, E_b),
+            jnp.where(take, R_f, R_b),
+            jnp.where(take, t_f, t_b),
+            jnp.where(take, m_f, m_b2),
+        ), None
+
+    def lo_chain(E0, R0, t0, m0):
+        (E_, R_, t_, m_), _ = jax.lax.scan(
+            lo_step, (E0, R0, t0, m0), anneal
+        )
+        n_, m_ = gate_at(R_, t_, E_, thresh_norm)
+        return E_, R_, t_, m_, n_
+
+    n_starts = min(16, n_hypotheses)
+    _, topi = jax.lax.top_k(scores, n_starts)
+    E_j, R_j, t_j, m_j, n_j = jax.vmap(lo_chain)(
+        Es[topi], Rcs[topi], tcs[topi], goods[topi]
+    )
+    j = jnp.argmax(n_j)
+    E, R, t, mask, n_best = E_j[j], R_j[j], t_j[j], m_j[j], n_j[j]
 
     # GN Sampson polish on the essential manifold (see
     # _refine_essential_pose), accepted only if the gated consensus holds
@@ -335,7 +389,7 @@ def essential_ransac(
     E_ref = so3_hat(tr) @ Rr
     inl_ref = (_sampson_sq(E_ref, h1, h2) < thresh_norm**2) & valid
     n_ref, m_ref = cheir_counts(Rr, tr, inl_ref)
-    better = n_ref >= scores[best]
+    better = n_ref >= n_best
     R = jnp.where(better, Rr, R)
     t = jnp.where(better, tr, t)
     E = jnp.where(better, E_ref, E)
