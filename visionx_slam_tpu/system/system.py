@@ -96,8 +96,9 @@ class System:
     # ------------------------------------------------------------------
     def _run_offline(self, entries) -> dict:
         """Batched offline mapping (tracking/offline_pipeline.py): every
-        stage runs as frame-parallel batches; highest throughput, RGB-D
-        only. See the module docstring for the design."""
+        stage runs as frame-parallel batches; highest throughput. RGB-D
+        by default; ``cfg.monocular`` switches to the essential +
+        scale-chain variant. See the module docstring for the design."""
         import jax.numpy as jnp
 
         from ..tracking.frontend import FrameResult
@@ -114,6 +115,7 @@ class System:
             ms, outs = run_offline_pipeline(
                 self.cam, grays, depths, cfg.tracking,
                 orb_kwargs={"n_features": cfg.n_features},
+                monocular=cfg.monocular,
             )
             _ = float(jnp.sum(outs.n_inliers))
         t_scan = time.perf_counter() - t0

@@ -116,10 +116,14 @@ class SystemConfig:
     resume_from: str = ""
     # "scan": whole sequence fused into one on-device lax.scan (online fast
     #         path, reference state-machine semantics);
-    # "offline": batched frame-parallel mapping (highest throughput, RGB-D
-    #         only — see tracking/offline_pipeline.py);
+    # "offline": batched frame-parallel mapping (highest throughput; RGB-D
+    #         by default, set `monocular` for the essential + scale-chain
+    #         variant — see tracking/offline_pipeline.py);
     # "host": per-frame host state machine (reference-parity/debug path)
     pipeline: str = "host"
+    # monocular offline mode (BASELINE config 2 on the fast path): depth
+    # input is ignored; poses/landmarks live in the VO scale frame
+    monocular: bool = False
     # observability (SURVEY.md §5.1/§5.2): jax.profiler trace directory and
     # the functional analog of a race/NaN sanitizer
     profile_dir: str = ""
