@@ -74,8 +74,8 @@ def main():
     Tc = -(-T // C) * C
     imgs = op._pad_to(gd, Tc).reshape(Tc // C, C, 480, 640)
 
-    for stage, name in ((1, "detect+topk"), (2, "+patch+orient"),
-                        (3, "full extract")):
+    for stage, name in ((0, "detect dense only"), (1, "detect+topk"),
+                        (2, "+patch+orient"), (3, "full extract")):
         f = jax.jit(lambda g: jax.lax.map(
             lambda ch: jax.vmap(
                 lambda im: orb_extract(im, profile_stage=stage))(ch), g))

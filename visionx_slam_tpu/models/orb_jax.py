@@ -302,7 +302,7 @@ def _pallas_available() -> bool:
     jax.jit,
     static_argnames=("n_features", "scale_factor", "n_levels", "n_slots",
                      "fast_threshold", "border", "use_pallas",
-                     "profile_stage"),
+                     "profile_stage", "patch_cell"),
 )
 def orb_extract(
     gray_u8: jnp.ndarray,  # [H,W] uint8
@@ -314,6 +314,9 @@ def orb_extract(
     border: int = 31,
     use_pallas: int = -1,  # -1 auto (TPU only), 0 off, 1 on
     profile_stage: int = 3,  # profiling knob: 1=detect, 2=+orient, 3=full
+    patch_cell: int = 32,  # s2d cell side for the patch gather (16 or 32):
+                           # 2x2 gathers of 1024-lane cells beat 3x3 of
+                           # 256-lane cells (gather cost ~ row count, rule 9)
 ):
     """Full ORB: returns (px [S,2] level-0 pixels, resp [S], desc [S,32],
     valid [S]) with S = n_slots; defaults mirror orb_extractor.h:11-13.
@@ -402,6 +405,15 @@ def orb_extract(
         )
         score = jnp.where(cand, harris, -jnp.inf)
 
+    if profile_stage <= 0:
+        # profiling: dense passes only (atlas + detect, no selection)
+        S = n_slots
+        resp = jnp.zeros((S,), jnp.float32).at[0].set(
+            jnp.sum(jnp.where(jnp.isfinite(score), score, 0.0))
+        )
+        return (jnp.zeros((S, 2), jnp.float32), resp,
+                jnp.zeros((S, 32), jnp.uint8), jnp.zeros((S,), bool))
+
     # ---- per-level grid-bucketed top-K (cheap: cell reductions) ----
     CELL = 8
     all_yy, all_xx, all_lxy, all_resp, all_valid = [], [], [], [], []
@@ -454,9 +466,9 @@ def orb_extract(
         # blurred values (sign decisions), orientation accumulates in f32
         blurred = (blurred16 if blurred16 is not None else
                    _sep_conv(atlas.astype(jnp.bfloat16), _gaussian_kernel1d()))
-        CS = 16
-        NC = 3                                       # cells per patch side
-        REG = NC * CS                                # 48
+        CS = patch_cell
+        NC = 1 + -(-(PATCH_S - 1) // CS)             # cells per patch side
+        REG = NC * CS                                # 48 (CS=16) / 64 (CS=32)
         # region spans [base - base%CS, +REG): up to CS-1+PATCH_S+PATCH_R
         # past a keypoint, and keypoints sit PATCH_R+... >=31 px inside a
         # level but levels touch: pad one extra cell both axes
@@ -522,9 +534,16 @@ def orb_extract(
                 jnp.clip(jnp.round(flat.astype(jnp.float32)), 0.0, 255.0)
                 .astype(jnp.int32) - 128
             ).astype(jnp.int8)
+            # int8 MXU contraction, but the [q, A*256] intermediate is the
+            # bandwidth cost (32 MB/frame at int32) — accumulate f32 and
+            # round the OUTPUT to bf16: each value is one (a-128)-(b-128)
+            # = a-b in [-255, 255]; bf16 rounding preserves the sign (only
+            # magnitude rounds, and integers up to 256 are exact), so the
+            # sign decisions are bit-identical to the int32 path while the
+            # intermediate halves to 16 MB
             vals = jax.lax.dot_general(
                 flat8, Dj8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                preferred_element_type=jnp.bfloat16,
             )  # [q, A*256] = first-sample minus second-sample, per bin
             sel = jnp.take_along_axis(
                 vals.reshape(q, A, 256), bins[:, None, None], axis=1
