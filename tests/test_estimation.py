@@ -227,3 +227,77 @@ def test_essential_ransac_30pct_never_poisons(rng):
         if mask.sum() > 0:
             contamination = mask[~inlier_gt & valid].sum() / mask.sum()
             assert contamination < 0.35, (seed, contamination)
+
+
+def _make_pnp_scene(r, n=512, inlier_frac=0.5, motion=0.15):
+    """3D-2D scene with wrong-pixel AND wrong-depth outliers (the regime
+    the offline pipeline's pair/re-track PnP stages see)."""
+    X = r.uniform([-2, -2, 1.5], [2, 2, 6], (n, 3)).astype(np.float32)
+    R_gt = Rotation.from_rotvec(r.uniform(-motion, motion, 3)).as_matrix()
+    t_gt = r.uniform(-motion, motion, 3)
+    pc = X @ R_gt.T + t_gt
+    uv = np.stack([525.0 * pc[:, 0] / pc[:, 2] + 319.5,
+                   525.0 * pc[:, 1] / pc[:, 2] + 239.5], -1)
+    uv += r.normal(0, 0.4, uv.shape)
+    depth = pc[:, 2] + r.normal(0, 0.01, n)
+    out = r.random(n) > inlier_frac
+    uv[out] = r.uniform([0, 0], [640, 480], (out.sum(), 2))
+    depth[out] = r.uniform(0.5, 8.0, out.sum())
+    return X, uv.astype(np.float32), depth.astype(np.float32), R_gt, t_gt
+
+
+def _pose_err(sol, R_gt, t_gt):
+    R = np.asarray(se3.quat_to_matrix(sol.pose.q))
+    ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2,
+                                       -1, 1)))
+    return ang, np.linalg.norm(np.asarray(sol.pose.t) - t_gt)
+
+
+def test_pnp_ransac_blind_half_inliers():
+    """VERDICT r2 'missing #3', PnP side: the pair stage's budget
+    (16 Procrustes hypotheses, identity init) must hold at 50 % inliers
+    — a 3-point sample is clean with p=0.125, so 16 draws give ~2
+    expected clean samples and the GN polish + consensus refit do the
+    rest. Pins the offline pipeline's pnp_hypotheses=16 floor."""
+    ok = 0
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        X, uv, depth, R_gt, t_gt = _make_pnp_scene(r, inlier_frac=0.5)
+        sol = est.pnp_ransac(
+            CAM, jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X), bool),
+            jax.random.PRNGKey(seed), 2.0, n_hypotheses=16,
+            refine_iters=4, init_pose=None,
+            depth_curr=jnp.asarray(depth),
+        )
+        ang, terr = _pose_err(sol, R_gt, t_gt)
+        ok += int(bool(sol.ok) and ang < 0.5 and terr < 0.05)
+    assert ok >= 5, f"{ok}/6 recovered at 50% inliers (hyp=16)"
+
+
+def test_pnp_ransac_prior_low_inliers_small_budget():
+    """The re-track stage's regime (offline_pipeline retrack_hypotheses=8):
+    a VO-anchored init pose competes as a motion-prior IRLS hypothesis, so
+    even at 30 % inliers — where 8 raw 3-point draws are hypothesis-
+    starved (~0.2 expected clean) — the prior hypothesis must carry
+    recovery when the init is within typical VO drift of the truth."""
+    ok = 0
+    for seed in range(6):
+        r = np.random.default_rng(50 + seed)
+        X, uv, depth, R_gt, t_gt = _make_pnp_scene(r, inlier_frac=0.3)
+        # init within ~0.6 deg / 2 cm of truth: the re-anchored VO chain's
+        # typical error scale at keyframe distance
+        dq = Rotation.from_matrix(R_gt) * Rotation.from_rotvec(
+            r.uniform(-0.01, 0.01, 3))
+        init = se3.Pose(
+            jnp.asarray(dq.as_quat()[[3, 0, 1, 2]], jnp.float32),
+            jnp.asarray(t_gt + r.uniform(-0.02, 0.02, 3), jnp.float32),
+        )
+        sol = est.pnp_ransac(
+            CAM, jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X), bool),
+            jax.random.PRNGKey(seed), 2.0, n_hypotheses=8,
+            refine_iters=3, init_pose=init,
+            depth_curr=jnp.asarray(depth),
+        )
+        ang, terr = _pose_err(sol, R_gt, t_gt)
+        ok += int(bool(sol.ok) and ang < 0.5 and terr < 0.05)
+    assert ok >= 5, f"{ok}/6 recovered at 30% inliers (hyp=8 + prior)"

@@ -344,7 +344,12 @@ def orb_extract(
         else:
             use_pallas = 1 if _pallas_available() else 0
     H, W = gray_u8.shape
-    img0 = gray_u8.astype(jnp.float32)
+    # the whole pyramid lives in bf16: every consumer (FAST compares,
+    # Harris products, blur, patch gather) already computes in bf16, so
+    # building/resizing/packing the atlas at f32 was pure wasted
+    # bandwidth; bilinear weights on values <= 255 add < 1 intensity of
+    # rounding — the same noise class as the bf16 blur itself
+    img0 = gray_u8.astype(jnp.bfloat16)
     quotas = _level_quotas(n_features, n_levels, scale_factor)
     place, total_rows, border_mask = _atlas_layout(
         H, W, n_levels, scale_factor, border

@@ -138,9 +138,11 @@ def build_offline_pipeline(
     pair_chunk: int = 32,
     pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
-    gba_cg_iterations: int = 12,
+    gba_cg_iterations: int = 8,
     monocular: bool = False,
     refine_solver: str = "global",   # "global" | "pair" | "pair_layout"
+    retrack_refine_iters: int = 3,
+    retrack_hypotheses: int = 8,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
@@ -526,9 +528,14 @@ def build_offline_pipeline(
             )
             p2 = pxi[m.idx]
             d2 = ddi[m.idx]
+            # fewer hypotheses than the blind pair stage: the VO-anchored
+            # init pose competes as a motion-prior IRLS hypothesis, so the
+            # raw budget only needs to cover gross VO failures (recovery
+            # is hypothesis-bound only below ~30% inliers)
             sol = pnp_ransac(
                 cam, p3, p2, pval, key, opts.max_reproj_error,
-                n_hypotheses=pnp_hypotheses, refine_iters=4,
+                n_hypotheses=retrack_hypotheses,
+                refine_iters=retrack_refine_iters,
                 init_pose=Pose(pq, pt),
                 # mono: no sensor depth -> DLT hypothesis variant
                 depth_curr=None if monocular else d2,
@@ -770,7 +777,7 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
 def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
                       orb_kwargs_tuple, extract_chunk, pair_chunk,
                       pnp_hypotheses, refine_iterations, batched=False,
-                      gba_cg_iterations=25, monocular=False):
+                      gba_cg_iterations=8, monocular=False):
     opts = TrackingOptions(**dict(opts_key))
     run = build_offline_pipeline(
         None, opts,
@@ -811,7 +818,7 @@ def run_offline_pipeline(
     pair_chunk: int = 32,
     pnp_hypotheses: int = 16,
     refine_iterations: int = 2,
-    gba_cg_iterations: int = 12,
+    gba_cg_iterations: int = 8,
     monocular: bool = False,
 ) -> tuple[MapState, OfflineOut]:
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
@@ -850,7 +857,7 @@ def run_offline_pipeline_batched(
     # GBA is the serial tail of the batched run (ATE measured invariant
     # r0..r4 on fr-class synthetic; bump for harder data)
     kw.setdefault("refine_iterations", 2)
-    kw.setdefault("gba_cg_iterations", 12)
+    kw.setdefault("gba_cg_iterations", 8)
     kw.setdefault("n_features_cap", 1024)
     kw.setdefault("pnp_hypotheses", 16)
     # K*N is the allocator's exact worst case: sized to it, lm_dropped == 0
