@@ -95,3 +95,36 @@ def test_offline_via_system(seq, tmp_path):
     assert summary["n_tracked"] == 16
     assert summary["ate_rmse"] < 0.02
     assert "offline_pipeline" in summary["stage_timings"]
+
+
+def test_refine_merged_matches_per_lane(seq):
+    """global_ba's gauge_group solve: refining B lane maps merged into ONE
+    MapState (lane-offset links, per-lane gauge) must equal the per-lane
+    solves EXACTLY — per-group CG step sizes decompose the block-diagonal
+    merged system into independent per-lane CG iterations. (Routing note:
+    the batched pipeline still refines per lane — the merged solve loses
+    in the fused program, PERF.md rule 11 — but this pins the merged
+    path's correctness for standalone / future sharded use.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        build_offline_pipeline,
+    )
+
+    ds, grays, depths, cam = seq
+    opts = TrackingOptions()
+    run = build_offline_pipeline(None, opts, kf_capacity=16,
+                                 extract_chunk=2, pair_chunk=8)
+    g2 = jnp.asarray(np.stack([grays, grays[::-1].copy()]))
+    d2 = jnp.asarray(np.stack([depths, depths[::-1].copy()]))
+    msb, links, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, g2, d2)
+    ms_lane = jax.lax.map(
+        lambda ml: run.refine(cam, ml[0], ml[1]), (msb, links))
+    ms_merged = run.refine_merged(cam, msb)
+    np.testing.assert_allclose(
+        np.asarray(ms_lane.kf_q), np.asarray(ms_merged.kf_q), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ms_lane.kf_t), np.asarray(ms_merged.kf_t), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ms_lane.lm_pos), np.asarray(ms_merged.lm_pos), atol=1e-5)

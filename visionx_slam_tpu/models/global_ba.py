@@ -92,8 +92,16 @@ def map_reproj_error(ms: MapState, cam: CameraParams) -> tuple[jnp.ndarray, jnp.
 
 @partial(jax.jit, static_argnames=("opts",))
 def global_ba(
-    ms: MapState, cam: CameraParams, opts: GlobalBAOptions = GlobalBAOptions()
+    ms: MapState, cam: CameraParams, opts: GlobalBAOptions = GlobalBAOptions(),
+    gauge_group: jnp.ndarray | None = None,
 ) -> tuple[MapState, GlobalBAStats]:
+    """``gauge_group``: optional [K] int32 lane label per keyframe slot for
+    MERGED multi-map solves (the batched offline pipeline concatenates B
+    independent lane maps into one MapState so the whole refine is ONE
+    sorted-segment-sum solve instead of B serialized ones). Each group's
+    oldest alive keyframe is gauge-frozen — B independent components need
+    B gauge fixes or B-1 of them are determined only by the damping.
+    Default (None): a single group, the plain full-map behavior."""
     K = ms.kf_capacity
     L = ms.lm_physical
     N = ms.n_features
@@ -112,13 +120,40 @@ def global_ba(
     # from the Schur reduction.
     lm_opt = ms.lm_alive & (obs_count >= opts.min_point_observations)
 
-    # gauge fix: freeze the oldest alive keyframe
+    # gauge fix: freeze the oldest alive keyframe (per gauge group)
     ids = jnp.where(alive_kf, ms.kf_id, jnp.iinfo(jnp.int32).max)
-    fixed_kf = jnp.argmin(ids)
-    free_kf = alive_kf & (jnp.arange(K) != fixed_kf)
+    if gauge_group is None:
+        fixed_mask = jnp.arange(K) == jnp.argmin(ids)
+    else:
+        group_min = jax.ops.segment_min(ids, gauge_group, num_segments=K)
+        is_min = alive_kf & (ids == group_min[gauge_group])
+        # tie-break to ONE slot per group (ids are unique per lane in
+        # practice; this guards merged maps with duplicate ids)
+        first = jax.ops.segment_min(
+            jnp.where(is_min, jnp.arange(K, dtype=jnp.int32), K),
+            gauge_group, num_segments=K,
+        )
+        fixed_mask = is_min & (jnp.arange(K) == first[gauge_group])
+    free_kf = alive_kf & ~fixed_mask
     free6 = free_kf[:, None]                      # [K,1] masks [K,6] vecs
 
-    enabled = (jnp.sum(alive_kf) >= 2) & jnp.any(ms.lm_alive)
+    # Every scalar of the solve (CG step sizes, convergence, cost) is kept
+    # PER GAUGE GROUP so a merged multi-lane solve is numerically
+    # IDENTICAL to independent per-lane solves: the system is block-
+    # diagonal across groups, so per-group alpha/beta make CG decompose
+    # exactly (a single global alpha would couple the lanes' iterates).
+    # The helpers collapse to plain scalar reductions at TRACE TIME when
+    # gauge_group is None, so the common single-map path pays nothing.
+    single = gauge_group is None
+    grp = None if single else gauge_group.astype(jnp.int32)
+
+    def seg_k(x_k):    # per-keyframe [K] -> per-group ([K] or scalar)
+        if single:
+            return jnp.sum(x_k)
+        return jax.ops.segment_sum(x_k, grp, num_segments=K)
+
+    def to_k(v_g):     # per-group -> per-keyframe (broadcast or gather)
+        return v_g if single else v_g[grp]
 
     # the link table never changes during GBA: sort observations by
     # landmark ONCE, so every per-iteration landmark reduction is a sorted
@@ -129,6 +164,23 @@ def global_ba(
     perm = jnp.argsort(jnp.where(opt_obs_mask, flat_lm_all, L))  # dead last
     sorted_lm = jnp.where(opt_obs_mask, flat_lm_all, L)[perm]    # ascending
     kk_perm = kk[perm]
+
+    # per-group enabled (>= 2 alive keyframes, any live observed landmark)
+    has_any_obs = seg_k(
+        jnp.sum(has_lm & ms.lm_alive[lm_idx], axis=1).astype(jnp.int32)
+    ) > 0
+    enabled_g = (seg_k(alive_kf.astype(jnp.int32)) >= 2) & has_any_obs
+    if single:
+        lm_grp = None
+    else:
+        # group of each landmark = group of (any of) its observations; all
+        # of a landmark's observations share a lane by construction
+        lm_grp = jnp.zeros((L + 1,), jnp.int32).at[sorted_lm].max(
+            grp[kk_perm], indices_are_sorted=True, mode="drop"
+        )[:L]
+
+    def to_lm(v_g):    # per-group -> per-landmark (broadcast or gather)
+        return v_g if single else v_g[lm_grp]
 
     def seg_sum_lm(per_obs):       # [O, d] -> [L, d], pre-sorted scatter
         d = per_obs.shape[-1]
@@ -154,11 +206,11 @@ def global_ba(
         return err, pc, obs, w
 
     def iteration(carry, _):
-        q, t, lm_pos, last_cost, done, iters = carry
+        q, t, lm_pos, last_cost_g, done_g, iters_g = carry
         err, pc, obs, w = residuals(q, t, lm_pos)
 
-        cost = jnp.sum(w * jnp.sum(err * err, -1))
-        total_obs = jnp.sum(obs).astype(jnp.int32)
+        cost_g = seg_k(jnp.sum(w * jnp.sum(err * err, -1), axis=1))
+        total_obs_g = seg_k(jnp.sum(obs, axis=1).astype(jnp.int32))
 
         # --- per-observation Jacobians ---
         Jp_proj = _proj_jacobian(cam, pc)                       # [K,N,2,3]
@@ -222,23 +274,29 @@ def global_ba(
         def prec(r):
             return jnp.where(free6, jnp.einsum("kij,kj->ki", Pinv, r), 0.0)
 
-        # fixed-iteration PCG (static shapes; converged state freezes)
+        # fixed-iteration PCG (static shapes; converged state freezes);
+        # step sizes per gauge group (gathered back to [K,1]) — exact
+        # per-lane CG on merged block-diagonal systems
+        def gdot(a, b):
+            s = to_k(seg_k(jnp.sum(a * b, axis=1)))
+            return s if single else s[:, None]
+
         x0 = jnp.zeros_like(rhs)
         r0 = rhs
         z0 = prec(r0)
         p0 = z0
-        rz0 = jnp.sum(r0 * z0)
+        rz0 = gdot(r0, z0)
 
         def cg_step(carry, _):
             x, r, p, rz = carry
             Ap = S_mv(p)
-            pAp = jnp.sum(p * Ap)
+            pAp = gdot(p, Ap)
             ok = (pAp > 1e-30) & (rz > 1e-30)
             alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-30), 0.0)
             x = x + alpha * p
             r = r - alpha * Ap
             z = prec(r)
-            rz_new = jnp.sum(r * z)
+            rz_new = gdot(r, z)
             beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
             p = z + beta * p
             return (x, r, p, rz_new), None
@@ -246,9 +304,11 @@ def global_ba(
         (dxp_k, _, _, _), _ = jax.lax.scan(
             cg_step, (x0, r0, p0, rz0), None, length=opts.cg_iterations
         )
-        dxp_k = jnp.where(
-            jnp.all(jnp.isfinite(dxp_k)), dxp_k, jnp.zeros_like(dxp_k)
-        )
+        bad_g = seg_k(
+            jnp.sum(~jnp.isfinite(dxp_k), axis=1).astype(jnp.int32)
+        ) > 0
+        bad_k = to_k(bad_g)
+        dxp_k = jnp.where(bad_k if single else bad_k[:, None], 0.0, dxp_k)
 
         # back-substitute landmarks: dxl = Hll^-1 (bl - W^T dxp)
         dxl = jnp.einsum("lij,lj->li", Hll_inv, bl - WT_v(dxp_k))
@@ -257,25 +317,34 @@ def global_ba(
             dxl, 0.0,
         )
 
-        apply = ~done & enabled
-        dxp_k = jnp.where((free_kf & apply)[:, None], dxp_k, 0.0)
+        apply_g = ~done_g & enabled_g                # per group
+        apply_k = to_k(apply_g)
+        dxp_k = jnp.where((free_kf & apply_k)[:, None], dxp_k, 0.0)
         newp = se3_compose(se3_exp(dxp_k), Pose(q, t))
-        lm_new = jnp.where(apply, lm_pos + dxl.T, lm_pos)
+        apply_lm = to_lm(apply_g)
+        lm_new = jnp.where(apply_lm if single else apply_lm[None, :],
+                           lm_pos + dxl.T, lm_pos)
 
-        converged = (total_obs == 0) | (jnp.abs(last_cost - cost) < 1e-6 * last_cost)
-        iters = iters + jnp.where(done | ~enabled, 0, 1)
-        done = done | converged
-        return (newp.q, newp.t, lm_new, cost, done, iters), (cost, total_obs)
+        converged_g = (total_obs_g == 0) | (
+            jnp.abs(last_cost_g - cost_g) < 1e-6 * last_cost_g
+        )
+        iters_g = iters_g + jnp.where(done_g | ~enabled_g, 0, 1)
+        done_g = done_g | converged_g
+        return (newp.q, newp.t, lm_new, cost_g, done_g, iters_g), (
+            jnp.sum(cost_g), jnp.sum(total_obs_g),
+        )
 
+    gshape = () if single else (K,)
     init = (
         ms.kf_q, ms.kf_t, ms.lm_pos,
-        jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32),
-        ~enabled, jnp.zeros((), jnp.int32),
+        jnp.full(gshape, jnp.finfo(jnp.float32).max, jnp.float32),
+        ~enabled_g, jnp.zeros(gshape, jnp.int32),
     )
-    (q, t, lm_pos, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
+    (q, t, lm_pos, cost_g, done_g, iters_g), (costs, obs_hist) = jax.lax.scan(
         iteration, init, None, length=opts.max_iterations
     )
 
     out = ms._replace(kf_q=q, kf_t=t, lm_pos=lm_pos)
-    return out, GlobalBAStats(iterations=iters, final_cost=cost,
+    return out, GlobalBAStats(iterations=jnp.max(iters_g),
+                              final_cost=jnp.sum(cost_g),
                               total_obs=obs_hist[-1])

@@ -472,6 +472,45 @@ def build_offline_pipeline(
         ms, _ = pair_ba(ms, cam, links, gba_opts)
         return ms
 
+    def run_refine_merged(cam: CameraParams, ms_b: MapState) -> MapState:
+        """Refine B lane maps (leading lane axis) as ONE merged global_ba
+        solve. The per-lane ``lax.map`` refine was the batched mode's
+        serial tail (both solvers degrade under a lane vmap — see
+        run_refine); concatenating the lanes' keyframe/landmark tables
+        with lane-offset links turns the B solves into one fully parallel
+        sorted-segment-sum solve, gauge-fixed per lane via global_ba's
+        gauge_group."""
+        B, Kl = ms_b.kf_id.shape
+        Lpl = ms_b.lm_pos.shape[-1]   # NOT the .lm_physical property: the
+                                      # lane axis shifts its shape index
+        flm = ms_b.kf_feat_lm
+        lane = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        merged = MapState(
+            kf_q=ms_b.kf_q.reshape(B * Kl, 4),
+            kf_t=ms_b.kf_t.reshape(B * Kl, 3),
+            kf_id=ms_b.kf_id.reshape(B * Kl),
+            kf_px=ms_b.kf_px.reshape(B * Kl, 2, N),
+            kf_desc=ms_b.kf_desc.reshape(B * Kl, N, 32),
+            kf_fvalid=ms_b.kf_fvalid.reshape(B * Kl, N),
+            kf_feat_lm=jnp.where(flm >= 0, flm + lane * Lpl, flm).reshape(
+                B * Kl, N
+            ),
+            kf_depth=ms_b.kf_depth.reshape(B * Kl, N),
+            lm_pos=jnp.moveaxis(ms_b.lm_pos, 1, 0).reshape(3, B * Lpl),
+            lm_alive=ms_b.lm_alive.reshape(B * Lpl),
+            lm_obs=ms_b.lm_obs.reshape(B * Lpl),
+            next_kf=jnp.sum(ms_b.next_kf),
+            next_lm=jnp.sum(ms_b.next_lm),
+            lm_dropped=jnp.sum(ms_b.lm_dropped),
+        )
+        gauge = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Kl)
+        out, _ = global_ba(merged, cam, gba_opts, gauge_group=gauge)
+        return ms_b._replace(
+            kf_q=out.kf_q.reshape(B, Kl, 4),
+            kf_t=out.kf_t.reshape(B, Kl, 3),
+            lm_pos=jnp.moveaxis(out.lm_pos.reshape(3, B, Lpl), 0, 1),
+        )
+
     def run_post(cam: CameraParams, ms: MapState, aux: dict):
         poses = Pose(aux["poses_q"], aux["poses_t"])
         tracked = aux["tracked"]
@@ -580,6 +619,7 @@ def build_offline_pipeline(
         return run_post(cam, ms, aux)
 
     run.pre, run.refine, run.post = run_pre, run_refine, run_post
+    run.refine_merged = run_refine_merged
     return run
 
 
@@ -797,7 +837,14 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
                 # per-lane sequential GBA: BOTH solvers degrade under a
                 # lane vmap (global_ba's sorted segment scatters ~2.5x,
                 # pair_ba's link gathers ~7x — measured 422 vs 267
-                # aggregate fps at B=8), so refine runs per lane
+                # aggregate fps at B=8), so refine runs per lane. The
+                # merged-lane single solve (run.refine_merged) ALSO loses
+                # in this fused program (371 vs 455 aggregate fps at B=8:
+                # the B-times-larger sort/scatter working set compiles to
+                # worse layouts in context — PERF.md rule 11) even though
+                # it is exactly per-lane-equivalent numerically; it
+                # remains the right shape for a future cross-chip sharded
+                # refine, where per-device maps merge over a mesh.
                 ms = jax.lax.map(
                     lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
             return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
