@@ -73,3 +73,65 @@ def test_sharded_equals_unsharded(fleet):
             np.testing.assert_array_equal(a, b)
     assert int(fleet_s["total_inliers"]) == int(jnp.sum(stats_u["inliers"]))
     assert int(fleet_s["total_matches"]) == int(jnp.sum(stats_u["matches"]))
+
+
+def test_sharded_offline_equals_unsharded():
+    """The batched OFFLINE pipeline sharded over the 8-device mesh must
+    match the unsharded single-device composition per lane: lanes are
+    independent, shard_map only partitions them, but the two compilations
+    reassociate floats differently, which can flip a RANSAC hypothesis
+    pick on isolated frames (observed: <1% of pose entries, ~2 cm) — so
+    the pinned invariants are tracking decisions, keyframe counts, and
+    centimeter-level trajectory agreement, not element equality. Every
+    lane must genuinely track (BASELINE config 5 at slice scale, not
+    just a compile check)."""
+    import os
+    import tempfile
+
+    from visionx_slam_tpu.data import synthetic, tum
+    from visionx_slam_tpu.parallel.batch import sharded_offline_pipeline
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        build_offline_pipeline,
+    )
+    from visionx_slam_tpu.utils.config import TrackingOptions
+
+    root = os.path.join(tempfile.gettempdir(), "vxs_mc_seq")
+    seq = "rgbd_dataset_freiburg3_synthetic"
+    if not os.path.isdir(os.path.join(root, seq)):
+        synthetic.generate_sequence(root, sequence=seq, n_frames=10, seed=11)
+    ds = tum.TumDataset(root, seq)
+    ds.load()
+    grays = np.stack([tum.load_rgb_gray(e.rgb_path) for e in ds.entries])
+    depths = np.stack([tum.load_depth_m(e.depth_path) for e in ds.entries])
+    cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX, synthetic.CY)
+    D = 8
+    # 8 distinct lanes from one rendered sequence (rolled starts)
+    g = jnp.asarray(np.stack([np.roll(grays, b, axis=0) for b in range(D)]))
+    d = jnp.asarray(np.stack([np.roll(depths, b, axis=0) for b in range(D)]))
+
+    opts = TrackingOptions()
+    kw = dict(kf_capacity=8, extract_chunk=2, pair_chunk=4,
+              refine_iterations=1)
+    mesh = pb.make_mesh(D)
+    f = sharded_offline_pipeline(mesh, cam, opts, **kw)
+    ms_s, out_s, fleet = f(g, d)
+    jax.block_until_ready(out_s.pose)
+
+    assert int(fleet["total_tracked"]) == D * grays.shape[0]
+    assert int(fleet["total_keyframes"]) >= D * 2
+
+    run = build_offline_pipeline(None, opts, **kw)
+
+    def unsharded(g, d):
+        ms, links, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, g, d)
+        ms = jax.lax.map(
+            lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
+        return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
+
+    ms_u, out_u = jax.jit(unsharded)(g, d)
+    np.testing.assert_array_equal(
+        np.asarray(out_s.tracked), np.asarray(out_u.tracked))
+    np.testing.assert_array_equal(
+        np.asarray(out_s.is_keyframe), np.asarray(out_u.is_keyframe))
+    dp = np.abs(np.asarray(out_s.pose) - np.asarray(out_u.pose))
+    assert dp.max() < 5e-2, dp.max()   # cm-level: RANSAC pick flips only

@@ -118,6 +118,59 @@ def batched_slam_step(mesh: Mesh, cam: CameraParams, **step_kw):
     return jax.jit(sharded)
 
 
+def sharded_offline_pipeline(mesh: Mesh, cam: CameraParams, opts,
+                             refine_iterations: int = 2, **kw):
+    """Batched offline mapping over a device mesh (BASELINE config 5 at
+    v5e-slice scale): the lane axis of the batched offline pipeline
+    (tracking/offline_pipeline.py) shards over the mesh's "seq" axis, each
+    device runs its local lanes (vmapped pre/post, per-lane refine — the
+    same composition the single-chip batched mode uses), and fleet totals
+    ride one psum over ICI. Lanes are fully independent, so
+    sharded results match the unsharded vmap to float-reassociation
+    tolerance (pinned by
+    tests/test_multichip.py::test_sharded_offline_equals_unsharded).
+
+    Returns jit(f(images[B,T,H,W] u8, depths[B,T,H,W] f32) ->
+    (MapState [B,...], OfflineOut [B,...], fleet dict)); B must be a
+    multiple of the mesh size.
+    """
+    from ..tracking.offline_pipeline import build_offline_pipeline
+
+    axis = mesh.axis_names[0]
+    run = build_offline_pipeline(
+        None, opts, refine_iterations=refine_iterations, **kw
+    )
+
+    def local(g, d):                        # [B_local, T, H, W]
+        ms, links, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, g, d)
+        if refine_iterations > 0:
+            ms = jax.lax.map(
+                lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
+        ms, out = jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
+        fleet = {
+            "total_tracked": jax.lax.psum(
+                jnp.sum(out.tracked.astype(jnp.int32)), axis),
+            "total_keyframes": jax.lax.psum(jnp.sum(out.n_keyframes), axis),
+            "total_landmarks": jax.lax.psum(jnp.sum(out.n_landmarks), axis),
+        }
+        return ms, out, fleet
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+        smkw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        smkw = {"check_rep": False}
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        **smkw,
+    )
+    return jax.jit(sharded)
+
+
 def stack_states(states: list[MapState]) -> MapState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
