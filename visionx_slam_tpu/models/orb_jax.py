@@ -302,7 +302,7 @@ def _pallas_available() -> bool:
     jax.jit,
     static_argnames=("n_features", "scale_factor", "n_levels", "n_slots",
                      "fast_threshold", "border", "use_pallas",
-                     "profile_stage", "patch_cell"),
+                     "profile_stage", "patch_cell", "resize_f32"),
 )
 def orb_extract(
     gray_u8: jnp.ndarray,  # [H,W] uint8
@@ -317,6 +317,10 @@ def orb_extract(
     patch_cell: int = 32,  # s2d cell side for the patch gather (16 or 32):
                            # 2x2 gathers of 1024-lane cells beat 3x3 of
                            # 256-lane cells (gather cost ~ row count, rule 9)
+    resize_f32: int = 0,   # 1: build the pyramid (resize/pack) in f32 and
+                           # cast once — the pre-bf16-build behavior, kept
+                           # for the strict reference-fidelity config whose
+                           # ATE band is sensitive to resize rounding
 ):
     """Full ORB: returns (px [S,2] level-0 pixels, resp [S], desc [S,32],
     valid [S]) with S = n_slots; defaults mirror orb_extractor.h:11-13.
@@ -349,7 +353,7 @@ def orb_extract(
     # building/resizing/packing the atlas at f32 was pure wasted
     # bandwidth; bilinear weights on values <= 255 add < 1 intensity of
     # rounding — the same noise class as the bf16 blur itself
-    img0 = gray_u8.astype(jnp.bfloat16)
+    img0 = gray_u8.astype(jnp.float32 if resize_f32 else jnp.bfloat16)
     quotas = _level_quotas(n_features, n_levels, scale_factor)
     place, total_rows, border_mask = _atlas_layout(
         H, W, n_levels, scale_factor, border
@@ -581,10 +585,11 @@ class JaxOrbExtractor:
 
     def __init__(self, n_features: int = 1000, scale_factor: float = 1.2,
                  n_levels: int = 8, n_slots: int = 1024,
-                 fast_threshold: float = 20.0):
+                 fast_threshold: float = 20.0, resize_f32: bool = False):
         self.kwargs = dict(
             n_features=n_features, scale_factor=scale_factor,
             n_levels=n_levels, n_slots=n_slots, fast_threshold=fast_threshold,
+            resize_f32=int(resize_f32),
         )
         self.n_slots = n_slots
 

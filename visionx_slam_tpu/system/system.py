@@ -52,7 +52,8 @@ class System:
         else:
             from ..models.orb_jax import JaxOrbExtractor
 
-            self.extractor = JaxOrbExtractor(n_features=cfg.n_features)
+            self.extractor = JaxOrbExtractor(
+                n_features=cfg.n_features, resize_f32=cfg.orb_resize_f32)
         self.tracker = Tracker(self.cam, cfg.tracking)
         self.results = []
         self.timer = StageTimer()
@@ -114,7 +115,8 @@ class System:
         with self.timer.stage("offline_pipeline"):
             ms, outs = run_offline_pipeline(
                 self.cam, grays, depths, cfg.tracking,
-                orb_kwargs={"n_features": cfg.n_features},
+                orb_kwargs={"n_features": cfg.n_features,
+                            "resize_f32": int(cfg.orb_resize_f32)},
                 monocular=cfg.monocular,
             )
             _ = float(jnp.sum(outs.n_inliers))
@@ -227,7 +229,8 @@ class System:
                 st_new, outs = run_scan_pipeline(
                     self.cam, g, d, cfg.tracking,
                     kf_capacity=cfg.kf_capacity,
-                    orb_kwargs={"n_features": cfg.n_features},
+                    orb_kwargs={"n_features": cfg.n_features,
+                            "resize_f32": int(cfg.orb_resize_f32)},
                     st0=st, frame0=frame0,
                 )
             st = st_new

@@ -304,7 +304,10 @@ class Tracker:
             return None, 0
         sol = pnp_ransac(
             self.cam, pw, obs.px[m.idx], valid, self._next_key(),
-            self.options.max_reproj_error, init_pose=identity_pose(),
+            self.options.max_reproj_error,
+            n_hypotheses=self.options.pnp_hypotheses,
+            refine_iters=self.options.pnp_refine_iters,
+            init_pose=identity_pose(),
             depth_curr=obs.depth[m.idx] if self.options.pnp_use_depth else None,
         )
         inliers = int(sol.n_inliers)
@@ -342,6 +345,8 @@ class Tracker:
         sol = pnp_ransac(
             self.cam, pts3d, pts2d, valid, self._next_key(),
             self.options.max_reproj_error,
+            n_hypotheses=self.options.pnp_hypotheses,
+            refine_iters=self.options.pnp_refine_iters,
             init_pose=self.current_pose,  # motion-prior hypothesis
             depth_curr=obs.depth[m.idx] if self.options.pnp_use_depth else None,
         )

@@ -163,6 +163,8 @@ def build_scan_step(
         n_pairs = jnp.sum(pvalid).astype(jnp.int32)
         sol = pnp_ransac(
             cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
+            n_hypotheses=opts.pnp_hypotheses,
+            refine_iters=opts.pnp_refine_iters,
             init_pose=st.cur_pose,
             depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
         )
@@ -249,6 +251,8 @@ def build_scan_step(
             pvalid = m.valid & good_d
             sol = pnp_ransac(
                 cam, pw, obs.px[m.idx], pvalid, k1, opts.max_reproj_error,
+                n_hypotheses=opts.pnp_hypotheses,
+                refine_iters=opts.pnp_refine_iters,
                 init_pose=identity_pose(),
                 depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
             )
@@ -373,16 +377,17 @@ def build_scan_step(
 
     # ------------------------------------------------------------------
     def step(st: ScanState, inp):
-        frame_id, gray, depth_img = inp
-        key = jax.random.fold_in(jax.random.PRNGKey(17), frame_id)
+        """Scan body over PRE-EXTRACTED per-frame observations.
 
-        with jax.named_scope("orb_extract"):
-            px, resp, desc, fvalid = orb_extract(gray, **orb_kwargs)
-        dfeat = _sample_depth(depth_img, px, fvalid)
-        obs = FrameObs(px, resp, desc, fvalid, dfeat)
-        grayf = gray.astype(jnp.float32)
-        gray_mean = jnp.mean(grayf)
-        gray_std = jnp.std(grayf)
+        Extraction depends only on the image — never on tracking state —
+        so it is hoisted out of the serial chain and batched over all
+        frames ahead of the scan (``extract_sequence``): semantically
+        identical to the reference's in-loop extract (tracking.cpp:42),
+        but the scan body now starts at the matcher, which roughly halves
+        the serial per-frame critical path."""
+        frame_id, obs, gray_mean, gray_std = inp
+        key = jax.random.fold_in(jax.random.PRNGKey(17), frame_id)
+        fvalid = obs.valid
 
         if stage_limit == 0:  # profiling: extraction only
             out = FrameOut(
@@ -559,10 +564,53 @@ def resume_state(ms: MapState) -> ScanState:
     )
 
 
+def extract_sequence(images_u8, depths_m, orb_kwargs, chunk: int = 8):
+    """Batched pre-extraction for the scan pipeline: ORB + feature-depth +
+    image-quality stats over ALL frames, vmapped in ``chunk``-size
+    ``lax.map`` chunks (bounds peak memory; same pattern as the offline
+    pipeline's stage 1). Returns (FrameObs [T,...], mean [T], std [T])."""
+    T = images_u8.shape[0]
+    H, W = images_u8.shape[1:]
+    Tc = -(-T // chunk) * chunk
+
+    def pad(x):
+        p = Tc - T
+        if p == 0:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], p, axis=0)])
+
+    gi = pad(images_u8).reshape(Tc // chunk, chunk, H, W)
+    di = pad(depths_m).reshape(Tc // chunk, chunk, H, W)
+
+    def one(args):
+        g, d = args
+        px, resp, desc, valid = jax.vmap(
+            lambda im: orb_extract(im, **orb_kwargs)
+        )(g)
+        dfeat = jax.vmap(stages.sample_depth_image)(d, px, valid)
+        gf = g.astype(jnp.float32)
+        mean = jnp.mean(gf, axis=(1, 2))
+        # std via moments (vmapped jnp.std materializes a centered copy)
+        std = jnp.sqrt(jnp.maximum(
+            jnp.mean(gf * gf, axis=(1, 2)) - mean * mean, 0.0))
+        return px, resp, desc, valid, dfeat, mean, std
+
+    px, resp, desc, valid, dfeat, mean, std = jax.lax.map(one, (gi, di))
+
+    def unc(x):
+        return x.reshape((Tc,) + x.shape[2:])[:T]
+
+    obs = FrameObs(px=unc(px), response=unc(resp), desc=unc(desc),
+                   valid=unc(valid), depth=unc(dfeat))
+    return obs, unc(mean), unc(std)
+
+
 @lru_cache(maxsize=8)
 def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                    orb_kwargs_tuple, stage_limit=2, batched=False):
     opts = TrackingOptions(**dict(opts_key))
+    orb_kw = dict(orb_kwargs_tuple)
+    orb_kw.setdefault("n_slots", n_features_cap)
 
     if not batched:
         def run(cam, st0, frame0, images_u8, depths_m):
@@ -572,11 +620,12 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                 n_features_cap=n_features_cap,
                 kf_capacity=kf_capacity,
                 lm_capacity=lm_capacity,
-                orb_kwargs=dict(orb_kwargs_tuple),
+                orb_kwargs=orb_kw,
                 stage_limit=stage_limit,
             )
+            obs, mean, std = extract_sequence(images_u8, depths_m, orb_kw)
             frame_ids = frame0 + jnp.arange(T, dtype=jnp.int32)
-            return jax.lax.scan(step, st0, (frame_ids, images_u8, depths_m))
+            return jax.lax.scan(step, st0, (frame_ids, obs, mean, std))
 
         return jax.jit(run, donate_argnums=(1,))
 
@@ -591,16 +640,20 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             n_features_cap=n_features_cap,
             kf_capacity=kf_capacity,
             lm_capacity=lm_capacity,
-            orb_kwargs=dict(orb_kwargs_tuple),
+            orb_kwargs=orb_kw,
             stage_limit=stage_limit,
         )
-        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0)))
+        obs, mean, std = jax.vmap(
+            lambda g, d: extract_sequence(g, d, orb_kw, chunk=2)
+        )(images_u8, depths_m)
+        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0, 0)))
         st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
         st0b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), st0)
         frame_ids = jnp.arange(T, dtype=jnp.int32)
+        obs_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
         return jax.lax.scan(
             vstep, st0b,
-            (frame_ids, images_u8.swapaxes(0, 1), depths_m.swapaxes(0, 1)),
+            (frame_ids, obs_t, mean.swapaxes(0, 1), std.swapaxes(0, 1)),
         )
 
     return jax.jit(run_batched)

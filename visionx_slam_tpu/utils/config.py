@@ -86,6 +86,14 @@ class TrackingOptions:
     # hypotheses get drawn. False = strict reference behavior (2D-only
     # minimal solver, like cv::solvePnPRansac's internal EPnP).
     pnp_use_depth: bool = True
+    # PnP RANSAC budget for the online frame loop. The reference asks
+    # cv::solvePnPRansac for min(100, 2n) iterations (tracking.cpp:421);
+    # here every kept hypothesis gets a GN polish and the previous pose
+    # competes as a motion-prior IRLS hypothesis, so a smaller raw budget
+    # covers the same failure modes (recovery is hypothesis-bound only
+    # below ~30% inliers — tests/test_estimation.py pins both regimes).
+    pnp_hypotheses: int = 24
+    pnp_refine_iters: int = 4
 
 
 @dataclass
@@ -129,6 +137,11 @@ class SystemConfig:
     profile_dir: str = ""
     debug_nans: bool = False
     n_features: int = 1000              # reference: orb_extractor.h:11
+    # build the ORB pyramid (resize/pack) in f32 instead of bf16 — the
+    # pre-optimization numeric path, pinned by the strict fidelity config
+    # (its 5% ATE band is sensitive to resize rounding; the default bf16
+    # build is validated statistically and on the default-config ATE)
+    orb_resize_f32: bool = False
     metrics_jsonl: bool = True          # per-frame structured metrics
     kf_capacity: int = 64               # keyframe ring slots (scan path)
     # viewer-replacement sinks (SURVEY.md L8): landmark cloud + keyframe
