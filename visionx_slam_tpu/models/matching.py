@@ -46,20 +46,28 @@ def unpack_bits(desc_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """Full Hamming distance matrix [N, M] from uint8 descriptors [N,32]/[M,32].
+    """Full Hamming distance matrix [N, M] (bf16) from uint8 descriptors
+    [N,32]/[M,32].
 
     Computed as |a| + |b| - 2 a.b with the inner product on the MXU —
     int8 bit planes (0/1 values are exact; int8 MXU throughput is 2x bf16,
-    accumulation in int32).
+    f32 accumulation). The matrix itself is bf16: every distance is an
+    integer in [0, 256], which bf16 represents EXACTLY, so argmin/ratio
+    decisions are bit-identical to f32 while the [N,M] intermediate (the
+    matcher's bandwidth cost) halves.
     """
     a = unpack_bits(desc_a).astype(jnp.int8)
     b = unpack_bits(desc_b).astype(jnp.int8)
     dot = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.bfloat16
     )
-    pop_a = jnp.sum(a.astype(jnp.int32), axis=-1)
-    pop_b = jnp.sum(b.astype(jnp.int32), axis=-1)
-    return (pop_a[:, None] + pop_b[None, :] - 2 * dot).astype(jnp.float32)
+    pop_a = jnp.sum(a, axis=-1, dtype=jnp.int32).astype(jnp.float32)
+    pop_b = jnp.sum(b, axis=-1, dtype=jnp.int32).astype(jnp.float32)
+    # the correction arithmetic runs in f32 (pop_a+pop_b reaches 512 and
+    # ODD intermediates above 256 are not bf16-exact); XLA fuses it into
+    # the dot's epilogue, so only the final bf16 matrix is materialized
+    d = pop_a[:, None] + pop_b[None, :] - 2.0 * dot.astype(jnp.float32)
+    return d.astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("nn_ratio",))
@@ -75,17 +83,22 @@ def knn2_ratio_match(
     A query keeps its best train match iff ``d1 < nn_ratio * d2`` where d2 is
     the second-best distance. Rows/cols with invalid descriptors are masked.
     """
-    D = hamming_matrix(desc_a, desc_b)
-    D = jnp.where(valid_b[None, :], D, BIG)
+    D = hamming_matrix(desc_a, desc_b)          # bf16, integer-exact
+    D = jnp.where(valid_b[None, :], D, jnp.bfloat16(BIG))
 
     idx1 = jnp.argmin(D, axis=1)
     d1 = jnp.take_along_axis(D, idx1[:, None], axis=1)[:, 0]
     # mask out the best column, find the runner-up
     cols = jnp.arange(D.shape[1], dtype=idx1.dtype)
-    D2 = jnp.where(cols[None, :] == idx1[:, None], BIG, D)
+    D2 = jnp.where(cols[None, :] == idx1[:, None], jnp.bfloat16(BIG), D)
     d2 = jnp.min(D2, axis=1)
 
-    ok = (d1 < nn_ratio * d2) & valid_a & (d1 < BIG)
+    # decisions in f32: the distances are bf16-exact integers, but the
+    # ratio product 0.8*d2 is not a bf16-exact value
+    d1 = d1.astype(jnp.float32)
+    d2 = d2.astype(jnp.float32)
+    # real Hamming distances are <= 256; anything above is the BIG mask
+    ok = (d1 < nn_ratio * d2) & valid_a & (d1 <= 256.0)
     return MatchResult(idx1.astype(jnp.int32), d1, ok)
 
 

@@ -140,7 +140,6 @@ def build_offline_pipeline(
     refine_iterations: int = 2,
     gba_cg_iterations: int = 8,
     monocular: bool = False,
-    refine_solver: str = "global",   # "global" | "pair" | "pair_layout"
     retrack_refine_iters: int = 3,
     retrack_hypotheses: int = 8,
 ):
@@ -439,37 +438,17 @@ def build_offline_pipeline(
 
     def run_refine(cam: CameraParams, ms: MapState,
                    links: PairLinks) -> MapState:
-        if refine_solver == "global":
-            # global_ba, NOT pair_ba, despite pair_ba being 3.7x faster as
-            # a standalone dispatch (0.16 vs 0.57 ms/frame): compiled into
-            # the same XLA program as run_pre (fused or vmapped), pair_ba's
-            # CG link-gathers inherit pathological layouts and each matvec
-            # runs ~7x slower (measured: fused e2e 2.98 vs 2.17 ms/frame;
-            # batched 267 vs 422 aggregate fps). pair_ba still serves the
-            # standalone archive GBA dispatch in system.py, where the
-            # measured win holds.
-            ms, _ = global_ba(ms, cam, gba_opts)
-            return ms
-        if refine_solver == "pair_layout":
-            # pin every solver input to the default (row-major) layout so
-            # pair_ba's link-gathers do not inherit the producer stages'
-            # layouts (PERF.md rule 11 follow-up experiment)
-            from jax.experimental.layout import (
-                Layout, with_layout_constraint,
-            )
-
-            def pin(x):
-                if not hasattr(x, "ndim") or x.ndim == 0:
-                    return x
-                return with_layout_constraint(
-                    x, Layout(tuple(range(x.ndim)))
-                )
-
-            ms = jax.tree.map(pin, ms)
-            links = jax.tree.map(pin, links)
-        from .. models.pair_ba import pair_ba
-
-        ms, _ = pair_ba(ms, cam, links, gba_opts)
+        # global_ba, NOT pair_ba, despite pair_ba being 3.7x faster as a
+        # standalone dispatch (0.16 vs 0.57 ms/frame): compiled into the
+        # same XLA program as run_pre (fused or vmapped), pair_ba's CG
+        # link-gathers inherit pathological layouts and each matvec runs
+        # ~7x slower (measured: fused e2e 2.98 vs 2.17 ms/frame; batched
+        # 267 vs 422 aggregate fps; pinning every solver input with
+        # with_layout_constraint does NOT recover it — the layouts are
+        # internal fusion choices, PERF.md round-3 dead ends). pair_ba
+        # still serves the standalone archive GBA dispatch in system.py,
+        # where the measured win holds.
+        ms, _ = global_ba(ms, cam, gba_opts)
         return ms
 
     def run_refine_merged(cam: CameraParams, ms_b: MapState) -> MapState:

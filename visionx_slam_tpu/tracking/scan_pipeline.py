@@ -108,9 +108,6 @@ def _clear_map(ms: MapState) -> MapState:
     )
 
 
-_sample_depth = stages.sample_depth_image
-
-
 def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
