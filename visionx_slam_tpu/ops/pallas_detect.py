@@ -168,7 +168,10 @@ def fast_harris_blur(
     img16: jnp.ndarray,   # [H, W] bf16 (atlas)
     mask: jnp.ndarray,    # [H, W] int8 border mask (1 = allowed)
     threshold: float = 20.0,
-    block_rows: int = 64,
+    block_rows: int = 128,  # 128-row tiles measured fastest (0.416 vs
+                            # 0.436 ms/frame at 64; fewer grid steps, halo
+                            # amortized over more rows; VMEM still fits
+                            # under the chunk-of-8 vmap)
 ):
     """Fused detection + blur over a pyramid atlas. Returns
     (score f32 [H,W] — NEG where not a surviving masked corner,
@@ -208,7 +211,7 @@ def fast_harris_blur(
 
 @functools.partial(jax.jit, static_argnames=("threshold", "block_rows"))
 def fast_harris_score(img: jnp.ndarray, threshold: float = 20.0,
-                      block_rows: int = 64) -> jnp.ndarray:
+                      block_rows: int = 128) -> jnp.ndarray:
     """Detection-only compatibility wrapper (f32 in / f32 score out, no
     border mask — callers mask downstream)."""
     H, W = img.shape
