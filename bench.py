@@ -187,6 +187,40 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
     except Exception as e:
         configs["2_monocular"] = {"error": repr(e)[:200]}
 
+    # ---- 2b. monocular on the FAST path: the offline pipeline's
+    # essential + scale-chain variant (same strided zero-depth input) ----
+    try:
+        from visionx_slam_tpu.tracking.offline_pipeline import (
+            run_offline_pipeline,
+        )
+
+        g2 = gd[::4]
+        d2 = jnp.zeros(g2.shape, jnp.float32)
+        T2 = int(g2.shape[0])
+
+        def run2b(g, d):
+            # keyframe capacity sized to the short strided input: fixed
+            # O(K) costs (map build, kf chain, GBA) dominate at T=60 with
+            # the default K=128 (same heuristic as the batched mode)
+            _, outs = run_offline_pipeline(
+                cam, g, d, opts, monocular=True,
+                kf_capacity=max(16, min(128, T2 // 2 + 16)),
+            )
+            return outs
+        stats, outs = _time_device_loop(
+            run2b, lambda o: jnp.sum(o.n_inliers), g2, d2, T2, runs)
+        configs["2b_monocular_offline"] = {
+            "fps": stats["fps_median"], "n_frames": T2,
+            "tracked_frac": float(np.asarray(outs.tracked).mean()),
+            "ate_rmse_m_scale_aligned": scan_ate(outs, gts[::4],
+                                                 with_scale=True),
+            "note": "fast-path mono (essential + scale chain): wins on "
+                    "ATE; fps at T=60 is fixed-cost-bound (the per-pair "
+                    "512-hypothesis essential RANSAC dominates)",
+        }
+    except Exception as e:
+        configs["2b_monocular_offline"] = {"error": repr(e)[:200]}
+
     # ---- 3. long sequence: 5 continuous loops = 1200 frames through the
     # online scan (keyframe ring eviction + landmark culling/compaction
     # active throughout) ----
