@@ -124,9 +124,32 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
     All inputs derive ON DEVICE from the already-staged 240-frame sequence
     (one exact trajectory loop, so tiling is continuous motion): the
     environment's 3-30 MB/s tunnel makes fresh uploads the one thing a
-    chip benchmark must not measure (PERF.md)."""
+    chip benchmark must not measure (PERF.md).
+
+    A wall-clock budget (VXS_BENCH_BUDGET_S, default 900 s measured from
+    entry) guards the artifact: on a cold compile cache the config blocks
+    can take tens of minutes, and a driver-side timeout would sink the
+    WHOLE bench line — once the budget is spent, remaining configs record
+    a "skipped" entry instead (the headline is already measured)."""
     import numpy as np
     import jax.numpy as jnp
+
+    budget_s = float(os.environ.get("VXS_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
+
+    class _BudgetExhausted(Exception):
+        pass
+
+    def _check_budget():
+        if time.perf_counter() - t_start > budget_s:
+            raise _BudgetExhausted(
+                f"bench budget {budget_s:.0f}s exhausted before this config"
+            )
+
+    def _record_error(key, e):
+        configs[key] = ({"skipped": str(e)}
+                        if isinstance(e, _BudgetExhausted)
+                        else {"error": repr(e)[:200]})
 
     from visionx_slam_tpu.eval import trajectory as traj
     from visionx_slam_tpu.tracking.scan_pipeline import (
@@ -150,6 +173,7 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
 
     # ---- 1. stock online run: the reference's own loop shape ----
     try:
+        _check_budget()
         def run1(g, d):
             _, outs = run_scan_pipeline(cam, g, d, opts)
             return outs
@@ -161,12 +185,13 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
             "ate_rmse_m": scan_ate(outs, gts),
         }
     except Exception as e:  # tunnel faults must not sink the artifact
-        configs["1_online_scan"] = {"error": repr(e)[:200]}
+        _record_error("1_online_scan", e)
 
     # ---- 2. monocular: zero depth -> essential init + triangulation.
     # Every 4th frame: fr1-speed 15 mm steps starve the parallax gate
     # (the reference behaves identically); 4x stride gives real baselines.
     try:
+        _check_budget()
         g2 = gd[::4]
         d2 = jnp.zeros(g2.shape, jnp.float32)
         T2 = int(g2.shape[0])
@@ -185,11 +210,12 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
                     "alignment (reference has no scale correction either)",
         }
     except Exception as e:
-        configs["2_monocular"] = {"error": repr(e)[:200]}
+        _record_error("2_monocular", e)
 
     # ---- 2b. monocular on the FAST path: the offline pipeline's
     # essential + scale-chain variant (same strided zero-depth input) ----
     try:
+        _check_budget()
         from visionx_slam_tpu.tracking.offline_pipeline import (
             run_offline_pipeline,
         )
@@ -219,12 +245,13 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
                     "512-hypothesis essential RANSAC dominates)",
         }
     except Exception as e:
-        configs["2b_monocular_offline"] = {"error": repr(e)[:200]}
+        _record_error("2b_monocular_offline", e)
 
     # ---- 3. long sequence: 5 continuous loops = 1200 frames through the
     # online scan (keyframe ring eviction + landmark culling/compaction
     # active throughout) ----
     try:
+        _check_budget()
         reps = 5
         g3 = jnp.tile(gd, (reps, 1, 1))
         d3 = jnp.tile(dd, (reps, 1, 1))
@@ -245,12 +272,13 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
             "n_landmarks": int(np.asarray(outs.n_landmarks)[-1]),
         }
     except Exception as e:
-        configs["3_long_sequence"] = {"error": repr(e)[:200]}
+        _record_error("3_long_sequence", e)
 
     # ---- 4. full-map global BA: ms/solve of both solvers on the offline-
     # built K=128 map (pair_ba = structured pairwise Schur; global_ba =
     # general sorted-scatter PCG Schur) ----
     try:
+        _check_budget()
         import jax
 
         from visionx_slam_tpu.models.global_ba import (
@@ -292,11 +320,12 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
         )
         configs["4_fullmap_gba"] = entry
     except Exception as e:
-        configs["4_fullmap_gba"] = {"error": repr(e)[:200]}
+        _record_error("4_fullmap_gba", e)
 
     # ---- 5. batched offline mapping: 8 staggered 120-frame windows of
     # the loop, vmapped on one chip; aggregate fps is the metric ----
     try:
+        _check_budget()
         import jax
 
         B, Tw = 8, 120
@@ -332,7 +361,7 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
             "ate_rmse_m_mean": float(np.mean(ates)) if ates else None,
         }
     except Exception as e:
-        configs["5_batched_offline"] = {"error": repr(e)[:200]}
+        _record_error("5_batched_offline", e)
 
     return configs
 
