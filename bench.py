@@ -224,13 +224,17 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
         d2 = jnp.zeros(g2.shape, jnp.float32)
         T2 = int(g2.shape[0])
 
+        from visionx_slam_tpu.tracking.offline_pipeline import (
+            default_lane_kf_capacity,
+        )
+
         def run2b(g, d):
             # keyframe capacity sized to the short strided input: fixed
             # O(K) costs (map build, kf chain, GBA) dominate at T=60 with
-            # the default K=128 (same heuristic as the batched mode)
+            # the default K=128 (the batched mode's shared heuristic)
             _, outs = run_offline_pipeline(
                 cam, g, d, opts, monocular=True,
-                kf_capacity=max(16, min(128, T2 // 2 + 16)),
+                kf_capacity=default_lane_kf_capacity(T2),
             )
             return outs
         stats, outs = _time_device_loop(

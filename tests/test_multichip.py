@@ -121,14 +121,8 @@ def test_sharded_offline_equals_unsharded():
     assert int(fleet["total_keyframes"]) >= D * 2
 
     run = build_offline_pipeline(None, opts, **kw)
-
-    def unsharded(g, d):
-        ms, links, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, g, d)
-        ms = jax.lax.map(
-            lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
-        return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
-
-    ms_u, out_u = jax.jit(unsharded)(g, d)
+    ms_u, out_u = jax.jit(
+        lambda g, d: run.batched_lanes(cam, g, d))(g, d)
     np.testing.assert_array_equal(
         np.asarray(out_s.tracked), np.asarray(out_u.tracked))
     np.testing.assert_array_equal(

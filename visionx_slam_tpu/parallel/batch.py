@@ -142,11 +142,10 @@ def sharded_offline_pipeline(mesh: Mesh, cam: CameraParams, opts,
     )
 
     def local(g, d):                        # [B_local, T, H, W]
-        ms, links, aux = jax.vmap(run.pre, in_axes=(None, 0, 0))(cam, g, d)
-        if refine_iterations > 0:
-            ms = jax.lax.map(
-                lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
-        ms, out = jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
+        # run.batched_lanes is the single source of truth for the batched
+        # composition — the per-device body here is EXACTLY the
+        # single-chip batched mode, so sharded == unsharded by shape
+        ms, out = run.batched_lanes(cam, g, d)
         fleet = {
             "total_tracked": jax.lax.psum(
                 jnp.sum(out.tracked.astype(jnp.int32)), axis),

@@ -302,11 +302,12 @@ class Tracker:
         valid = m.valid & good_d
         if int(jnp.sum(valid)) < self.options.min_inliers:
             return None, 0
+        # blind init: full hypothesis budget (see scan_pipeline.init_second)
         sol = pnp_ransac(
             self.cam, pw, obs.px[m.idx], valid, self._next_key(),
             self.options.max_reproj_error,
-            n_hypotheses=self.options.pnp_hypotheses,
-            refine_iters=self.options.pnp_refine_iters,
+            n_hypotheses=max(64, self.options.pnp_hypotheses),
+            refine_iters=max(6, self.options.pnp_refine_iters),
             init_pose=identity_pose(),
             depth_curr=obs.depth[m.idx] if self.options.pnp_use_depth else None,
         )

@@ -597,9 +597,39 @@ def build_offline_pipeline(
             ms = run_refine(cam, ms, links)
         return run_post(cam, ms, aux)
 
+    def run_batched_lanes(cam: CameraParams, images_u8, depths_m):
+        """THE batched multi-lane composition (leading lane axis): vmapped
+        pre, per-lane lax.map refine (rule-8/11 routing), vmapped post.
+        Single source of truth for the single-chip batched mode AND the
+        mesh-sharded per-device body (parallel/batch.py) — they must not
+        diverge or the sharded==unsharded invariant silently breaks."""
+        ms, links, aux = jax.vmap(
+            run_pre, in_axes=(None, 0, 0))(cam, images_u8, depths_m)
+        if refine_iterations > 0:
+            # per-lane sequential GBA: BOTH solvers degrade under a lane
+            # vmap (global_ba's sorted segment scatters ~2.5x, pair_ba's
+            # link gathers ~7x — measured 422 vs 267 aggregate fps at
+            # B=8), so refine runs per lane. The merged-lane single solve
+            # (run_refine_merged) also measured slower, fused AND
+            # standalone (PERF.md round-3 dead ends), but remains the
+            # right shape for a future cross-chip sharded refine.
+            ms = jax.lax.map(
+                lambda ml: run_refine(cam, ml[0], ml[1]), (ms, links))
+        return jax.vmap(run_post, in_axes=(None, 0, 0))(cam, ms, aux)
+
     run.pre, run.refine, run.post = run_pre, run_refine, run_post
     run.refine_merged = run_refine_merged
+    run.batched_lanes = run_batched_lanes
     return run
+
+
+def default_lane_kf_capacity(T: int) -> int:
+    """Keyframe capacity for a T-frame lane: fixed per-lane costs (map
+    build, keyframe chain, GBA) are O(K) regardless of T, so an oversized
+    K dilutes short lanes (measured: K=128 -> 64 on 120-frame lanes was
+    +34 aggregate fps); ~T/3 keyframes occur at the default policy.
+    Shared by the batched mode and the bench's short-input configs."""
+    return max(16, min(128, -(-T // 2) + 16))
 
 
 def build_keyframe_map(
@@ -809,25 +839,7 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
         monocular=monocular,
     )
     if batched:
-        def run_batched(cam, imgs, deps):
-            ms, links, aux = jax.vmap(
-                run.pre, in_axes=(None, 0, 0))(cam, imgs, deps)
-            if refine_iterations > 0:
-                # per-lane sequential GBA: BOTH solvers degrade under a
-                # lane vmap (global_ba's sorted segment scatters ~2.5x,
-                # pair_ba's link gathers ~7x — measured 422 vs 267
-                # aggregate fps at B=8), so refine runs per lane. The
-                # merged-lane single solve (run.refine_merged) ALSO loses
-                # in this fused program (371 vs 455 aggregate fps at B=8:
-                # the B-times-larger sort/scatter working set compiles to
-                # worse layouts in context — PERF.md rule 11) even though
-                # it is exactly per-lane-equivalent numerically; it
-                # remains the right shape for a future cross-chip sharded
-                # refine, where per-device maps merge over a mesh.
-                ms = jax.lax.map(
-                    lambda ml: run.refine(cam, ml[0], ml[1]), (ms, links))
-            return jax.vmap(run.post, in_axes=(None, 0, 0))(cam, ms, aux)
-        return jax.jit(run_batched)
+        return jax.jit(run.batched_lanes)
     return jax.jit(run)
 
 
@@ -873,12 +885,8 @@ def run_offline_pipeline_batched(
     # B*c live distance matrices, so default smaller than single-stream
     kw.setdefault("extract_chunk", 2)
     kw.setdefault("pair_chunk", 8)
-    # keyframe capacity scales with lane length: fixed per-lane costs (map
-    # build, keyframe chain, GBA) are O(K) regardless of T, so an oversized
-    # K dilutes short lanes (measured: K=128 -> 64 on 120-frame lanes was
-    # +34 fps aggregate); ~T/3 keyframes occur at the default policy
     T = images_u8.shape[1]
-    kw.setdefault("kf_capacity", max(16, min(128, -(-T // 2) + 16)))
+    kw.setdefault("kf_capacity", default_lane_kf_capacity(T))
     # lighter default refinement than single-stream: the per-lane lax.map
     # GBA is the serial tail of the batched run (ATE measured invariant
     # r0..r4 on fr-class synthetic; bump for harder data)

@@ -246,10 +246,15 @@ def build_scan_step(
             good_d = (d >= stages.MIN_DEPTH) & (d <= stages.MAX_DEPTH)
             pw = backproject(cam, st.init_obs.px, d)
             pvalid = m.valid & good_d
+            # init runs BLIND (identity prior, possibly large baseline)
+            # and only twice per sequence + after map wipes, so it keeps
+            # the full 64-hypothesis budget regardless of the calibrated
+            # steady-state pnp_hypotheses (whose safety argument is the
+            # motion-prior hypothesis, absent here)
             sol = pnp_ransac(
                 cam, pw, obs.px[m.idx], pvalid, k1, opts.max_reproj_error,
-                n_hypotheses=opts.pnp_hypotheses,
-                refine_iters=opts.pnp_refine_iters,
+                n_hypotheses=max(64, opts.pnp_hypotheses),
+                refine_iters=max(6, opts.pnp_refine_iters),
                 init_pose=identity_pose(),
                 depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
             )
