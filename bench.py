@@ -417,26 +417,43 @@ def main(argv=None) -> int:
             st, outs = run_scan_pipeline(cam, g, d, opts)
             return st.ms, outs
 
-    # ---- end-to-end once (decode + transfer + compute), also the warmup ----
-    t0 = time.perf_counter()
-    _, outs = run_fn(grays, depths)
-    _ = float(jnp.sum(outs.n_inliers))
-    e2e_first = time.perf_counter() - t0  # includes compile on cold cache
-
-    # ---- device-loop timing: inputs staged in HBM, varied per run ----
-    gd = jax.device_put(jnp.asarray(grays))
-    dd = jax.device_put(jnp.asarray(depths))
-    times = []
-    outs = None
-    for i in range(runs):
-        g_i = gd.at[0, 0, 0].set(jnp.uint8(i + 1))  # bust the run cache
-        g_i.block_until_ready()
+    def measure_headline():
+        # ---- end-to-end once (decode + transfer + compute) + warmup ----
         t0 = time.perf_counter()
-        ms, outs = run_fn(g_i, dd)
-        fence = float(jnp.sum(outs.n_inliers))  # dependent scalar fence
-        times.append(time.perf_counter() - t0)
-        del fence
-    stats = _median_stats(times, n_frames)
+        _, outs = run_fn(grays, depths)
+        _ = float(jnp.sum(outs.n_inliers))
+        e2e_first = time.perf_counter() - t0  # includes compile, cold cache
+
+        # ---- device-loop timing: inputs staged in HBM, varied per run ----
+        gd = jax.device_put(jnp.asarray(grays))
+        dd = jax.device_put(jnp.asarray(depths))
+        times = []
+        outs = None
+        for i in range(runs):
+            g_i = gd.at[0, 0, 0].set(jnp.uint8(i + 1))  # bust the run cache
+            g_i.block_until_ready()
+            t0 = time.perf_counter()
+            ms, outs = run_fn(g_i, dd)
+            fence = float(jnp.sum(outs.n_inliers))  # dependent scalar fence
+            times.append(time.perf_counter() - t0)
+            del fence
+        return e2e_first, gd, dd, ms, outs, _median_stats(times, n_frames)
+
+    # the tunneled backend faults sporadically ("TPU backend error",
+    # PERF.md measurement gotchas) — one fault must not sink the whole
+    # artifact, so the headline measurement retries
+    last_err = None
+    for attempt in range(3):
+        try:
+            e2e_first, gd, dd, ms, outs, stats = measure_headline()
+            break
+        except Exception as e:  # noqa: BLE001 — transient backend faults
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e!r}",
+                  file=sys.stderr)
+            time.sleep(10.0)
+    else:
+        raise last_err
 
     ate, n_tracked = _ate_from_outs(outs, gts)
     from visionx_slam_tpu.tracking import mapstate as msl
