@@ -142,6 +142,7 @@ def build_offline_pipeline(
     monocular: bool = False,
     retrack_refine_iters: int = 3,
     retrack_hypotheses: int = 8,
+    mono_pair_hypotheses: int = 128,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
@@ -231,7 +232,13 @@ def build_offline_pipeline(
 
             m = matching.match_frames(dq, vq, dt, vt)
             px_n = pxt[m.idx]
-            sol = essential_ransac(cam, pxq, px_n, m.valid, key)
+            # consecutive-frame pairs are high-inlier after the ratio +
+            # distance filters, so a smaller raw budget than the online
+            # fallback's 256 holds (measured: 128 -> +32% mono fps at
+            # equal ATE); parallax-starved/low-inlier pairs freeze to
+            # identity downstream either way (module docstring)
+            sol = essential_ransac(cam, pxq, px_n, m.valid, key,
+                                   n_hypotheses=mono_pair_hypotheses)
             x1 = _normalize_px(cam, pxq)
             x2 = _normalize_px(cam, px_n)
             P1 = jnp.concatenate(
