@@ -246,7 +246,7 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
                                                  with_scale=True),
             "note": "fast-path mono (essential + scale chain): wins on "
                     "ATE; fps at T=60 is fixed-cost-bound (the per-pair "
-                    "512-hypothesis essential RANSAC dominates)",
+                    "essential RANSAC dominates)",
         }
     except Exception as e:
         _record_error("2b_monocular_offline", e)
