@@ -119,7 +119,7 @@ def batched_slam_step(mesh: Mesh, cam: CameraParams, **step_kw):
 
 
 def sharded_offline_pipeline(mesh: Mesh, cam: CameraParams, opts,
-                             refine_iterations: int = 2, **kw):
+                             refine_iterations: int = 1, **kw):
     """Batched offline mapping over a device mesh (BASELINE config 5 at
     v5e-slice scale): the lane axis of the batched offline pipeline
     (tracking/offline_pipeline.py) shards over the mesh's "seq" axis, each
