@@ -10,9 +10,13 @@ TPU-first mapping (SURVEY.md §7.7):
   normal equations built with einsum and solved as a [W,6,6] batched solve
   (poses are mutually independent within a pass, so the reference's
   sequential per-keyframe loop batches exactly);
-- the point pass scatters per-observation 3x3/3x1 contributions into the
-  landmark table with segment-sum adds and solves ALL landmark systems as
-  one [L,3,3] batched solve, applying updates only where gates pass;
+- the point pass is COMPACT: the window's <= W*N observations are sorted
+  by landmark once, consecutive runs become dense segment ids, and each
+  iteration segment-sums 3x3/3x1 contributions into a [W*N]-bucket table
+  and solves [W*N,3,3] systems — never touching the full landmark table
+  (the reference iterates exactly the window's landmarks too,
+  local_ba.cpp:83-104; an O(L) table pass cost ~2.8 ms/frame at L=131k,
+  ~25x the window's actual observation count);
 - the iteration loop is a ``lax.scan`` with a ``done`` flag implementing
   the reference's early convergence break (|last-cost|<1e-6*last,
   local_ba.cpp:244-246) as masked no-op iterations.
@@ -101,35 +105,48 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
     has_lm = f_valid & (f_lm >= 0)
     lm_idx = jnp.clip(f_lm, 0, L - 1)
 
+    # ---- compact window-landmark index (built ONCE; links are fixed
+    # inside BA). Sort the <= W*N observations by landmark id; runs of
+    # equal ids become dense buckets. Everything downstream — residual
+    # gathers, the per-iteration segment sums, the 3x3 solves — works on
+    # the [S = W*N] bucket axis, never the full landmark table. ----
+    S = W * N
+    base_lm = jnp.where(has_lm, lm_idx, L).reshape(-1)       # [S]
+    seg_order = jnp.argsort(base_lm)
+    seg_idx = base_lm[seg_order]                             # ascending
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_idx[1:] != seg_idx[:-1]]
+    )
+    loc_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1    # [S] bucket id
+    # bucket -> landmark id (duplicates write the same value; padding
+    # buckets keep the drop sentinel so write-back can't clobber slot 0)
+    uniq_lm = jnp.full((S,), ms.lm_physical, jnp.int32).at[loc_sorted].set(
+        seg_idx.astype(jnp.int32), indices_are_sorted=True
+    )                                                        # ascending
+    uniq_real = uniq_lm < L
+    uniq_clip = jnp.clip(uniq_lm, 0, ms.lm_physical - 1)
+    loc_flat = loc_sorted[jnp.argsort(seg_order)].reshape(W, N)
+
     # landmark eligibility for the POINT pass (local_ba.cpp:93-104):
     # alive, observed in the window, global observation count >= min
-    global_obs = msl.landmark_observation_counts(ms)
+    alive_u = ms.lm_alive[uniq_clip] & uniq_real
+    lm_eligible_u = alive_u & (
+        msl.landmark_observation_counts(ms)[uniq_clip]
+        >= opts.min_point_observations
+    )
 
-    # the point-pass segment reduction indices are FIXED across iterations
-    # (links don't change inside BA): sort them once so the per-iteration
-    # scatter-add runs on sorted indices — TPU scatters serialize per
-    # update, and the sorted path vectorizes
-    base_lm = jnp.where(has_lm, lm_idx, L).reshape(-1)       # [W*N]
-    seg_order = jnp.argsort(base_lm)
-    seg_idx = base_lm[seg_order]
-
-    in_window = jnp.zeros((L + 1,), bool).at[seg_idx].set(
-        True, indices_are_sorted=True, mode="drop"
-    )[:L]
-    lm_eligible = ms.lm_alive & in_window & (global_obs >= opts.min_point_observations)
-
-    enabled = (n_kf >= 2) & jnp.any(lm_eligible)  # local_ba.cpp:73,106
+    enabled = (n_kf >= 2) & jnp.any(lm_eligible_u)  # local_ba.cpp:73,106
 
     q0 = ms.kf_q[slots]
     t0 = ms.kf_t[slots]
-    pos0 = ms.lm_pos  # [3,Lp] coordinate-major
+    pos0 = ms.lm_pos[:, uniq_clip]  # [3,S] compact window positions
 
-    def residuals(q, t, lm_pos):
+    def residuals(q, t, pos_c):
         """Per-observation projection residuals for the whole window.
 
         Returns err [W,N,2], pc [W,N,3], obs mask [W,N] after the
         validity + reprojection gates, and huber weights [W,N]."""
-        pw = jnp.moveaxis(lm_pos[:, lm_idx], 0, -1)  # [W,N,3]
+        pw = jnp.moveaxis(pos_c[:, loc_flat], 0, -1)  # [W,N,3]
         R = quat_to_matrix(q)                        # [W,3,3]
         pc = jnp.einsum("wij,wnj->wni", R, pw) + t[:, None, :]
         z_ok = pc[..., 2] > 1e-6
@@ -138,16 +155,16 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         v = cam.fy * pc[..., 1] / zs + cam.cy
         err = f_px - jnp.stack([u, v], -1)           # measured - projected
         err_n = jnp.linalg.norm(err, axis=-1)
-        alive = ms.lm_alive[lm_idx]
+        alive = alive_u[loc_flat]
         obs = has_lm & alive & z_ok & (err_n <= opts.max_reproj_error)
         w = _huber_w(err_n, opts.huber_delta)
         return err, pc, obs, w
 
     def iteration(carry, _):
-        q, t, lm_pos, last_cost, done, iters = carry
+        q, t, pos_c, last_cost, done, iters = carry
 
         # ============ POSE PASS (landmarks fixed; local_ba.cpp:117-174) ====
-        err, pc, obs, w = residuals(q, t, lm_pos)
+        err, pc, obs, w = residuals(q, t, pos_c)
         ww = jnp.where(obs, w, 0.0)
 
         cost = jnp.sum(ww * jnp.sum(err * err, -1))
@@ -176,8 +193,8 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         q2, t2 = newp.q, newp.t
 
         # ============ POINT PASS (poses fixed; local_ba.cpp:177-238) =======
-        err2, pc2, obs2, w2 = residuals(q2, t2, lm_pos)
-        obs2 = obs2 & lm_eligible[lm_idx]
+        err2, pc2, obs2, w2 = residuals(q2, t2, pos_c)
+        obs2 = obs2 & lm_eligible_u[loc_flat]
         ww2 = jnp.where(obs2, w2, 0.0)
         R2 = quat_to_matrix(q2)                       # [W,3,3]
         Jp2 = _proj_jacobian(cam, pc2)                # [W,N,2,3]
@@ -186,7 +203,8 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         Hc = jnp.einsum("wnij,wnik,wn->wnjk", Jpt, Jpt, ww2)  # [W,N,3,3]
         bc = jnp.einsum("wnij,wni,wn->wnj", Jpt, err2, ww2)   # [W,N,3]
 
-        # ONE packed sorted scatter-add: [H(9) | b(3) | count(1)] per obs
+        # ONE packed sorted scatter-add into the COMPACT bucket table:
+        # [H(9) | b(3) | count(1)] per obs
         contrib = jnp.concatenate(
             [
                 Hc.reshape(-1, 9),
@@ -195,25 +213,25 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
             ],
             axis=-1,
         )[seg_order]
-        table = jnp.zeros((L + 1, 13), pc2.dtype).at[seg_idx].add(
+        table = jnp.zeros((S, 13), pc2.dtype).at[loc_sorted].add(
             contrib, indices_are_sorted=True, mode="drop"
         )
-        Hl = table[:L, :9].reshape(L, 3, 3)
-        bl = table[:L, 9:12]
-        cnt = table[:L, 12]
+        Hl = table[:, :9].reshape(S, 3, 3)
+        bl = table[:, 9:12]
+        cnt = table[:, 12]
 
         Hl = Hl + 1e-6 * jnp.eye(3, dtype=pc2.dtype)
-        # closed-form batched solve: LU on a [L,3,3] batch is pathologically
-        # slow on TPU for large L; the adjugate form is pure VPU math
+        # closed-form batched solve: LU on a [S,3,3] batch is pathologically
+        # slow on TPU; the adjugate form is pure VPU math
         from ..ops.linalg import solve3x3
 
-        dp = solve3x3(Hl, bl)  # [L,3]
+        dp = solve3x3(Hl, bl)  # [S,3]
         apply_pt = (
             (cnt >= opts.min_point_observations)
-            & lm_eligible & ~done & enabled
+            & lm_eligible_u & ~done & enabled
             & jnp.all(jnp.isfinite(dp), axis=-1)
         )
-        lm_pos2 = jnp.where(apply_pt[None, :], lm_pos + dp.T, lm_pos)
+        pos_c2 = jnp.where(apply_pt[None, :], pos_c + dp.T, pos_c)
 
         # ============ convergence (local_ba.cpp:240-247) ===================
         converged = (total_obs == 0) | (
@@ -222,7 +240,7 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         iters = iters + jnp.where(done | ~enabled, 0, 1)
         done = done | converged
 
-        return (q2, t2, lm_pos2, cost, done, iters), (cost, total_obs)
+        return (q2, t2, pos_c2, cost, done, iters), (cost, total_obs)
 
     init = (
         q0, t0, pos0,
@@ -230,12 +248,17 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         ~enabled,
         jnp.zeros((), jnp.int32),
     )
-    (q, t, lm_pos, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
+    (q, t, pos_c, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
         iteration, init, None, length=opts.max_iterations
     )
 
     # write window poses back (masked by window validity)
     new_q = ms.kf_q.at[slots].set(jnp.where(wvalid[:, None], q, ms.kf_q[slots]))
     new_t = ms.kf_t.at[slots].set(jnp.where(wvalid[:, None], t, ms.kf_t[slots]))
+    # scatter the compact window positions back (sorted; padding buckets
+    # carry the lm_physical sentinel and drop)
+    lm_pos = ms.lm_pos.at[:, uniq_lm].set(
+        pos_c, indices_are_sorted=True, mode="drop"
+    )
     out = ms._replace(kf_q=new_q, kf_t=new_t, lm_pos=lm_pos)
     return out, BAStats(iterations=iters, final_cost=cost, total_obs=obs_hist[-1])
