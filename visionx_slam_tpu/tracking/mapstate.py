@@ -145,19 +145,27 @@ def insert_keyframe(
     fvalid: jnp.ndarray,
     feat_lm: jnp.ndarray,
     depth: jnp.ndarray,
+    *,
+    fresh_links: bool = False,
 ) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe into the ring; returns (state, slot).
 
     Replaces Map::InsertKeyFrame (map.cpp). Evicting a previous occupant
     removes its observations (lm_obs decremented), the moral equivalent of
-    RemoveKeyFrame on the oldest.
+    RemoveKeyFrame on the oldest. ``fresh_links=True`` (static) asserts
+    ``feat_lm`` is all-FREE — the scan's insert always is — and skips the
+    observation-count scatter for the incoming links (a sort + scatter,
+    ~0.5 ms on TPU, that would add nothing).
     """
     slot = ms.next_kf % ms.kf_capacity
     old_links = ms.kf_feat_lm[slot]
     was_alive = ms.kf_id[slot] >= 0
     lm_obs = _links_delta(ms, old_links, jnp.broadcast_to(was_alive, old_links.shape), -1)
     ms = ms._replace(lm_obs=lm_obs)
-    lm_obs = _links_delta(ms, feat_lm, jnp.ones_like(feat_lm, bool), +1)
+    if fresh_links:
+        lm_obs = ms.lm_obs
+    else:
+        lm_obs = _links_delta(ms, feat_lm, jnp.ones_like(feat_lm, bool), +1)
     return (
         ms._replace(
             kf_q=ms.kf_q.at[slot].set(pose.q),
@@ -185,11 +193,14 @@ def allocate_landmarks(
     with (1 for depth backprojection, 2 for two-view triangulation).
     Returns (state, slots [N] int32 with FREE where not created/dropped).
 
-    Slots issue contiguously from ``next_lm``, so the writes are one
-    stable sort (created rows first, original order — matching the slot
+    Slots issue contiguously from ``next_lm``, so the writes are a
+    compaction (created rows first, original order — matching the slot
     order) followed by a dynamic_update_slice into the padded table. This
     replaces the reference's per-feature ``new Landmark(id++, pw)`` loops
-    (tracking.cpp:640-644, :915-918) without any serializing scatter.
+    (tracking.cpp:640-644, :915-918) without any serializing scatter. The
+    compaction itself is a one-hot MXU matmul, NOT a sort: an [N] argsort
+    costs ~0.2 ms on TPU while the [N,N]x[N,3] contraction is microseconds
+    (this runs on the per-keyframe event path of the online scan).
     """
     N = want.shape[0]
     L = ms.lm_capacity
@@ -199,9 +210,17 @@ def allocate_landmarks(
     slots = jnp.where(ok, slots, FREE)
     n_created = jnp.sum(ok).astype(jnp.int32)
 
-    # created rows first, original order preserved (stable sort)
-    order = jnp.argsort(jnp.where(ok, 0, 1), stable=True)
-    pos_sorted = pos[order]
+    # created rows first, original order preserved: pos_sorted[j] = pos[i]
+    # where rank(i) == j (one-hot contraction; f32 is exact for these
+    # coordinate payloads)
+    onehot = (
+        jnp.where(ok, offs, N)[:, None]
+        == jnp.arange(N, dtype=offs.dtype)[None, :]
+    ).astype(pos.dtype)                              # [N rows, N dest]
+    # zero non-created rows: 0 * NaN would poison the contraction (the
+    # rejected rows of triangulated batches are routinely non-finite)
+    pos_clean = jnp.where(ok[:, None], pos, 0.0)
+    pos_sorted = jnp.einsum("ij,ic->jc", onehot, pos_clean)
 
     start = ms.next_lm  # < L <= Lp - N, so the N-row window always fits
     iota = jnp.arange(N)

@@ -295,11 +295,13 @@ def build_scan_step(
                 ms, st.init_frame_id, identity_pose(),
                 st.init_obs.px, st.init_obs.desc, st.init_obs.valid,
                 jnp.full((n_features_cap,), FREE, jnp.int32), st.init_obs.depth,
+                fresh_links=True,
             )
             ms, slot2 = msl.insert_keyframe(
                 ms, frame_id.astype(jnp.int32), pose2,
                 obs.px, obs.desc, obs.valid,
                 jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
+                fresh_links=True,
             )
             ms = stages.depth_landmarks(ms, cam, slot1, identity_pose())
             ms = stages.depth_landmarks(ms, cam, slot2, pose2)
@@ -339,6 +341,7 @@ def build_scan_step(
             ms, frame_id.astype(jnp.int32), st.cur_pose,
             obs.px, obs.desc, obs.valid,
             jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
+            fresh_links=True,
         )
         ms = stages.depth_landmarks(ms, cam, slot, st.cur_pose)
         ms = stages.triangulate_pair(

@@ -151,17 +151,23 @@ def triangulate_pair(
     slot_b: jnp.ndarray,  # newer keyframe (match train)
     min_angle_deg: float | jnp.ndarray,
     max_reproj: float | jnp.ndarray,
+    res: matching.MatchResult | None = None,
 ) -> MapState:
     """TriangulateWithLastKeyFrame (tracking.cpp:856-929) between two
     keyframe slots: re-match descriptors (ratio test only — the reference
     does NOT apply the min-dist filter on this path), gate by triangulation
     angle and two-sided reprojection error, create landmarks and link both
-    frames' features."""
+    frames' features.
+
+    ``res`` optionally supplies the precomputed knn2 ratio match between
+    the two slots' descriptors (the scan's track stage already matched
+    exactly this pair; re-matching costs a full Hamming GEMM)."""
     px_a, px_b = ms.kf_px[slot_a].T, ms.kf_px[slot_b].T
-    res = matching.knn2_ratio_match(
-        ms.kf_desc[slot_a], ms.kf_fvalid[slot_a],
-        ms.kf_desc[slot_b], ms.kf_fvalid[slot_b],
-    )
+    if res is None:
+        res = matching.knn2_ratio_match(
+            ms.kf_desc[slot_a], ms.kf_fvalid[slot_a],
+            ms.kf_desc[slot_b], ms.kf_fvalid[slot_b],
+        )
     lm_a = ms.kf_feat_lm[slot_a]
     lm_b = ms.kf_feat_lm[slot_b]
     # neither side already has a landmark (has_landmark check only, :876-879)
@@ -200,31 +206,32 @@ def triangulate_pair(
     # touching a train feature create a landmark; a batched `free` computed
     # from the pre-update table would let every query matching the same
     # train row allocate, and the losers (one real link but obs_init=2)
-    # could never be reaped by compaction. Keep the best-distance query per
-    # train feature: sort by (train index, distance) and keep first-of-key.
-    combo = jnp.where(
-        want,
-        res.idx.astype(jnp.float32) * 512.0 + jnp.minimum(res.dist, 511.0),
-        jnp.inf,
+    # could never be reaped by compaction. Keep the best-(distance, query
+    # row) per train feature via masked [N,N] segment-mins — an argsort of
+    # [N] costs ~0.2 ms on TPU, the dense mins are microseconds.
+    N = ms.n_features
+    eq = (res.idx[:, None] == jnp.arange(N, dtype=res.idx.dtype)[None, :])
+    eq_w = eq & want[:, None]                         # [Nq, Nm]
+    dist_c = jnp.minimum(res.dist, 511.0)
+    best_d = jnp.min(jnp.where(eq_w, dist_c[:, None], jnp.inf), axis=0)
+    tied = want & (dist_c == best_d[res.idx])
+    rows = jnp.arange(N, dtype=jnp.int32)
+    best_q = jnp.min(
+        jnp.where(eq & tied[:, None], rows[:, None], N), axis=0
     )
-    order_d = jnp.argsort(combo)  # stable: ties keep lowest query row
-    key_sorted = jnp.where(want, res.idx, -1)[order_d]
-    first_of_key = jnp.concatenate(
-        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
-    )
-    winner_sorted = first_of_key & (key_sorted >= 0)
-    want = want & winner_sorted[jnp.argsort(order_d)]
+    want = tied & (rows == best_q[res.idx])
 
     ms2, slots = msl.allocate_landmarks(ms, want, pw, obs_init=2)
     created = slots >= 0
 
     links_a = jnp.where(created, slots, lm_a)
-    # scatter into the train side: row order is by query; only created rows
-    train_rows = jnp.where(created, res.idx, ms.n_features)
-    row_order = jnp.argsort(train_rows)  # sorted scatter (TPU)
-    links_b = ms.kf_feat_lm[slot_b].at[train_rows[row_order]].set(
-        jnp.where(created, slots, 0)[row_order],
-        indices_are_sorted=True, mode="drop",
+    # train-side links: per train feature m, the created winner's slot id
+    # (unique per m after dedupe) — a one-hot contraction, not a scatter
+    eq_c = (eq & created[:, None]).astype(jnp.float32)
+    val_m = jnp.einsum("qm,q->m", eq_c, (slots + 1).astype(jnp.float32))
+    has_m = val_m > 0.5
+    links_b = jnp.where(
+        has_m, val_m.astype(jnp.int32) - 1, ms.kf_feat_lm[slot_b]
     )
     kf_feat_lm = ms2.kf_feat_lm.at[slot_a].set(links_a)
     kf_feat_lm = kf_feat_lm.at[slot_b].set(links_b)
