@@ -131,6 +131,7 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
     can take tens of minutes, and a driver-side timeout would sink the
     WHOLE bench line — once the budget is spent, remaining configs record
     a "skipped" entry instead (the headline is already measured)."""
+    import jax
     import numpy as np
     import jax.numpy as jnp
 
@@ -184,6 +185,30 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
             "tracked_frac": float(np.asarray(outs.tracked).mean()),
             "ate_rmse_m": scan_ate(outs, gts),
         }
+        # per-frame latency of the STREAMING shape (what a real-time
+        # deployment dispatches): the same scan in 8-frame chunks with the
+        # state threaded through, per-chunk wall time / chunk size.
+        # p50/p99 over chunks — keyframe-event chunks are the tail.
+        chunk = 8
+        st = None
+        lat = []
+        for rep in range(2):                 # rep 0 warms the T=8 compile
+            st = None
+            lat = []
+            for s in range(0, T, chunk):
+                g_i = jax.lax.dynamic_slice_in_dim(gd, s, chunk)
+                d_i = jax.lax.dynamic_slice_in_dim(dd, s, chunk)
+                jax.block_until_ready((g_i, d_i))
+                t0 = time.perf_counter()
+                st, outs_c = run_scan_pipeline(
+                    cam, g_i, d_i, opts, st0=st, frame0=s)
+                _ = float(jnp.sum(outs_c.n_inliers))
+                lat.append((time.perf_counter() - t0) / chunk * 1e3)
+        configs["1_online_scan"].update(
+            latency_ms_p50=round(float(np.percentile(lat, 50)), 3),
+            latency_ms_p99=round(float(np.percentile(lat, 99)), 3),
+            latency_chunk=chunk,
+        )
     except Exception as e:  # tunnel faults must not sink the artifact
         _record_error("1_online_scan", e)
 
@@ -441,13 +466,25 @@ def main(argv=None) -> int:
 
     # the tunneled backend faults sporadically ("TPU backend error",
     # PERF.md measurement gotchas) — one fault must not sink the whole
-    # artifact, so the headline measurement retries
+    # artifact, so the headline measurement retries. Only plausibly
+    # TRANSIENT backend/transport faults retry; deterministic bugs (shape
+    # errors, tracing failures, OOM) raise immediately so the real
+    # traceback is not delayed by recompiles and sleeps.
+    def _transient(e: Exception) -> bool:
+        msg = f"{type(e).__name__}: {e}".lower()
+        return any(s in msg for s in (
+            "backend error", "unavailable", "kernel fault", "deadline",
+            "internal", "connection", "socket", "transport", "aborted",
+        ))
+
     last_err = None
     for attempt in range(3):
         try:
             e2e_first, gd, dd, ms, outs, stats = measure_headline()
             break
-        except Exception as e:  # noqa: BLE001 — transient backend faults
+        except Exception as e:  # noqa: BLE001 — filtered to transient below
+            if not _transient(e) or attempt == 2:
+                raise
             last_err = e
             print(f"bench attempt {attempt + 1} failed: {e!r}",
                   file=sys.stderr)

@@ -61,6 +61,16 @@ class BAOptions(NamedTuple):
     min_point_observations: int = 2
     huber_delta: float = 5.0
     max_reproj_error: float = 5.0
+    # Run the GN loop as a lax.while_loop that STOPS at the reference's
+    # convergence test (|last-cost| < 1e-6*last, local_ba.cpp:244-246)
+    # instead of a fixed-length lax.scan with masked no-op iterations —
+    # converged iterations then cost nothing. Semantically identical (the
+    # masked scan applies no updates after convergence either); the scan
+    # remains the default because under a lane vmap a while_loop runs to
+    # the max over lanes anyway. The online scan pipeline (BASELINE
+    # config 1, not vmapped) enables it: local BA is ~1/3 of its frame
+    # budget and typically converges in 2-3 of the 5 budgeted iterations.
+    early_exit: bool = False
 
 
 class BAStats(NamedTuple):
@@ -248,9 +258,26 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         ~enabled,
         jnp.zeros((), jnp.int32),
     )
-    (q, t, pos_c, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
-        iteration, init, None, length=opts.max_iterations
-    )
+    if opts.early_exit:
+        # dynamic-trip-count variant: stop at convergence instead of
+        # masking (see BAOptions.early_exit). total_obs rides the carry.
+        def w_cond(c):
+            (_, _, _, _, done, iters), _ = c
+            return ~done & (iters < opts.max_iterations)
+
+        def w_body(c):
+            carry, _ = c
+            carry2, (cost_i, obs_i) = iteration(carry, None)
+            return carry2, obs_i
+
+        (q, t, pos_c, cost, done, iters), last_obs = jax.lax.while_loop(
+            w_cond, w_body, (init, jnp.zeros((), jnp.int32))
+        )
+        obs_hist = last_obs[None]
+    else:
+        (q, t, pos_c, cost, done, iters), (costs, obs_hist) = jax.lax.scan(
+            iteration, init, None, length=opts.max_iterations
+        )
 
     # write window poses back (masked by window validity)
     new_q = ms.kf_q.at[slots].set(jnp.where(wvalid[:, None], q, ms.kf_q[slots]))

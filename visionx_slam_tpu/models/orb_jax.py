@@ -466,11 +466,13 @@ def orb_extract(
     else:
         # ---- one blur + space-to-depth patch gather for ALL keypoints ----
         # Per-keypoint dynamic_slice serialized (~1.6 ms/frame); instead the
-        # blurred atlas is retiled into 16x16 cells [Hc*Wc, 256] so each
-        # patch is a 3x3 gather of FULL 256-lane vectors (gather cost
-        # scales with row count: 9 rows beat 25 8x8 rows by ~1.4x),
-        # reassembled to a 48x48 region and recentered to 31x31 with two
-        # one-hot einsums (MXU, exact 0/1 selection).
+        # blurred atlas is retiled into CSxCS cells [Hc*Wc, CS*CS] so each
+        # patch is an NCxNC gather of FULL CS*CS-lane cell vectors (gather
+        # cost scales with ROW count, so fewer/wider cells win: measured
+        # 3x3 gathers of 256-lane cells beat 5x5 of 64-lane by ~1.4x, and
+        # the current default CS=32 makes it a 2x2 gather of 1024-lane
+        # cells), reassembled to a REGxREG region and recentered to the
+        # 31x31 patch with two one-hot einsums (MXU, exact 0/1 selection).
         # blur + gather + recenter all in bf16: the descriptor COMPARES
         # blurred values (sign decisions), orientation accumulates in f32
         blurred = (blurred16 if blurred16 is not None else
@@ -501,7 +503,7 @@ def orb_extract(
             + cx[:, None, None] + d3[None, :]
         )  # [Q,NC,NC]; keypoints are >=31 px inside, so cells stay in range
         # (dead top_k slots may wrap negatively — harmless, masked by valid)
-        g = s2d[cell_idx.reshape(-1)]                # [Q*9, 256]
+        g = s2d[cell_idx.reshape(-1)]                # [Q*NC*NC, CS*CS]
         region = g.reshape(Q, NC, NC, CS, CS).transpose(0, 1, 3, 2, 4).reshape(
             Q, REG, REG
         )

@@ -126,6 +126,28 @@ def _chunked_vmap(fn, chunk: int, *args):
     )
 
 
+def _segmented_compose_scan(q: jnp.ndarray, t: jnp.ndarray,
+                            flag: jnp.ndarray) -> Pose:
+    """Parallel-prefix SE(3) composition with per-lane segment resets.
+
+    ``prefix[i] = value[i]`` where ``flag[i]`` (a segment start: the value
+    IS the absolute anchor) else ``value[i] ∘ prefix[i-1]``. The flagged
+    combine is associative — the standard segmented-scan construction — so
+    the whole thing stays one ``associative_scan``. With ``flag`` all
+    False this is exactly the unsegmented composition (the selects reduce
+    to identity on constant-False flags)."""
+
+    def comb(a, b):
+        aq, at, af = a
+        bq, bt, bf = b
+        c = se3_compose(Pose(bq, bt), Pose(aq, at))
+        f = bf[..., None]
+        return (jnp.where(f, bq, c.q), jnp.where(f, bt, c.t), af | bf)
+
+    pq, pt, _ = jax.lax.associative_scan(comb, (q, t, flag))
+    return Pose(pq, pt)
+
+
 def build_offline_pipeline(
     cam_static_placeholder,
     opts: TrackingOptions,
@@ -148,26 +170,53 @@ def build_offline_pipeline(
     retrack_refine_iters: int = 3,
     retrack_hypotheses: int = 8,
     mono_pair_hypotheses: int = 128,
+    lanes: int = 1,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
     OfflineOut). All sizes static; jit-compatible and vmap-able over a
     leading sequence axis. With ``monocular=True`` the depth input is
     ignored (pass zeros) and poses/landmarks live in the VO scale frame
-    (see module docstring)."""
+    (see module docstring).
+
+    ``lanes=B > 1`` is the FOLDED multi-sequence mode (BASELINE config 5):
+    the input's leading axis is B lanes concatenated frame-major
+    ([B*T_lane, H, W]), and every stage runs over the single folded frame
+    axis — no stage ever executes under a lane vmap (the round-3 batched
+    mode's vmap penalty on irregular stages) and the refine is ONE merged
+    ``global_ba`` gauge-grouped per lane instead of a per-lane ``lax.map``
+    tail. Lane isolation is by construction: cross-lane frame pairs are
+    masked invalid, the pose/keyframe/scale recurrences run as segmented
+    scans resetting at lane starts, keyframe selection is per-lane
+    (``kf_capacity`` means per-lane capacity), and all RANSAC keys derive
+    from WITHIN-lane indices so each lane draws the same randomness as a
+    single-stream run of itself. With ``lanes=1`` every mask is constant
+    and the formulas reduce exactly to the single-stream path."""
+    B_lanes = lanes
     if lm_capacity is None:
         # K*N is the exact worst case of the contiguous cumsum allocator in
         # build_keyframe_map: sized to it, lm_dropped == 0 is guaranteed at
-        # any keyframe/feature occupancy
-        lm_capacity = kf_capacity * n_features_cap
+        # any keyframe/feature occupancy (K = total keyframe slots across
+        # all lanes in folded mode)
+        lm_capacity = lanes * kf_capacity * n_features_cap
     orb_kwargs = dict(orb_kwargs or {})
     orb_kwargs.setdefault("n_slots", n_features_cap)
     N = n_features_cap
-    K = kf_capacity
+    K = kf_capacity            # per-lane keyframe capacity
+    KT = lanes * kf_capacity   # total keyframe slots (== K when lanes == 1)
     C = extract_chunk
 
     def run_pre(cam: CameraParams, images_u8, depths_m):
         T = images_u8.shape[0]
         H, W = images_u8.shape[1:]
+        # ---- lane segmentation (constants; all-False/identity at B=1) ----
+        assert T % B_lanes == 0, (T, B_lanes)
+        T_lane = T // B_lanes
+        pair_ix = jnp.arange(T - 1)
+        wl_pair = pair_ix % T_lane              # within-lane pair index
+        # pair i connects frames (i, i+1); it crosses a lane boundary iff
+        # frame i+1 is a lane start
+        pair_xlane = (pair_ix % T_lane) == (T_lane - 1)
+        lane_start_frame = (jnp.arange(T) % T_lane) == 0
 
         # ---- 1. extraction, chunked vmap ----
         Tc = -(-T // C) * C
@@ -194,7 +243,7 @@ def build_offline_pipeline(
         # per-pair function (match -> gather -> RGB-D PnP); lax.map chunks
         # bound the live [N,N] distance matrices (see _chunked_vmap) ----
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(29), jnp.arange(T - 1)
+            jax.random.PRNGKey(29), wl_pair
         )
 
         def pair_pose(pts3d, pts2d, vv, key, dcur, refine=4):
@@ -276,10 +325,17 @@ def build_offline_pipeline(
                 px[:-1], px[1:], keys,
             )  # rel = T_{i+1 <- i}, ||t|| = 1 per pair
 
+            # cross-lane pairs relate unrelated frames: their triangulated
+            # depths must not feed the scale chain or the frame-depth table
+            zq_u = jnp.where(pair_xlane[:, None], 0.0, zq_u)
+            zn_u = jnp.where(pair_xlane[:, None], 0.0, zn_u)
+
             # ---- scale chain: pair i-1 and pair i share frame i's
             # features. d_in = zn_u[i-1][n] (scale s_{i-1}), d_out =
             # zq_u[i][midx[i-1][n]] (scale s_i, gathered — no scatter);
-            # median log-ratio -> s_i/s_{i-1} ----
+            # median log-ratio -> s_i/s_{i-1}. Relations touching a
+            # cross-lane pair vanish automatically (their depths are 0 ->
+            # shared = 0 -> log_ratio = 0). ----
             d_in = zn_u[:-1]                               # [T-2,N]
             d_out = jnp.take_along_axis(zq_u[1:], midx[:-1], axis=1)
             shared = (d_in > 0.0) & (d_out > 0.0)
@@ -290,18 +346,26 @@ def build_offline_pipeline(
             n_shared = jnp.sum(shared, axis=1)
             med = jnp.nan_to_num(jnp.nanmedian(logr, axis=1))
             log_ratio = jnp.where(n_shared >= 8, med, 0.0)  # [T-2]
-            log_s = jnp.concatenate(
+            # per-lane exclusive prefix sum: subtract the running sum at
+            # each lane's first pair (a gather of constants; identity at
+            # B=1 where first_pair == 0 and cs[0] == 0)
+            cs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32), jnp.cumsum(log_ratio)]
             )                                               # [T-1]
-            # global gauge: median depth of pair 0 -> 2 m (the analog of
-            # the reference normalizing init median depth; keeps depths
-            # inside the map build's MIN/MAX_DEPTH gates)
-            med0 = jnp.nanmedian(jnp.where(zq_u[0] > 0, zq_u[0], jnp.nan))
+            first_pair = (pair_ix // T_lane) * T_lane
+            log_s = cs - cs[first_pair]
+            # per-lane gauge: median depth of the lane's first pair -> 2 m
+            # (the analog of the reference normalizing init median depth;
+            # keeps depths inside the map build's MIN/MAX_DEPTH gates)
+            zq0 = zq_u[jnp.arange(B_lanes) * T_lane]        # [B,N]
+            med0 = jnp.nanmedian(jnp.where(zq0 > 0, zq0, jnp.nan), axis=1)
             c = 2.0 / jnp.maximum(jnp.nan_to_num(med0, nan=1.0), 1e-6)
-            s = jnp.exp(log_s) * c                          # [T-1]
+            s = jnp.exp(log_s) * c[pair_ix // T_lane]       # [T-1]
             rt = rt * s[:, None]
             # synthesized per-feature depth (world scale) stands in for
-            # sensor depth downstream; last frame has no query pair -> 0
+            # sensor depth downstream; lane-last frames map to cross-lane
+            # pairs (depths forced 0 above), the global last frame to the
+            # appended zero row
             dfeat = jnp.concatenate(
                 [zq_u * s[:, None], jnp.zeros((1, N), jnp.float32)]
             )
@@ -311,6 +375,12 @@ def build_offline_pipeline(
                 desc[:-1], valid[:-1], desc[1:], valid[1:],
                 px[:-1], px[1:], dfeat[:-1], dfeat[1:], keys,
             )  # rel = T_{i+1 <- i}
+        # cross-lane pairs never track; their stats must not leak into the
+        # keyframe policy or the per-frame outputs
+        ok = ok & ~pair_xlane
+        n_inl = jnp.where(pair_xlane, 0, n_inl)
+        n_matches = jnp.where(pair_xlane, 0, n_matches)
+        parallax = jnp.where(pair_xlane, 0.0, parallax)
         ident = identity_pose()
         rel = Pose(
             jnp.where(ok[:, None], rq, ident.q[None]),
@@ -318,10 +388,9 @@ def build_offline_pipeline(
         )
 
         # ---- 4. absolute poses by parallel prefix over SE(3) ----
-        # T_cw[i+1] = rel[i] ∘ rel[i-1] ∘ ... ∘ rel[0]; combine(a, b) = b∘a
-        prefix = jax.lax.associative_scan(
-            lambda a, b: se3_compose(b, a), rel
-        )
+        # T_cw[i+1] = rel[i] ∘ rel[i-1] ∘ ... ∘ rel[0]; combine(a, b) = b∘a,
+        # segmented per lane (each lane-start frame re-anchors at identity)
+        prefix = _segmented_compose_scan(rel.q, rel.t, pair_xlane)
         # re-normalize quaternions (compounded float error over T)
         qn = prefix.q / jnp.maximum(
             jnp.linalg.norm(prefix.q, axis=-1, keepdims=True), 1e-12
@@ -330,14 +399,16 @@ def build_offline_pipeline(
             jnp.concatenate([ident.q[None], qn]),
             jnp.concatenate([ident.t[None], prefix.t]),
         )  # [T]
-        tracked = jnp.concatenate([jnp.ones((1,), bool), ok])
+        tracked = jnp.concatenate([jnp.ones((1,), bool), ok]) | lane_start_frame
 
-        # ---- 5. keyframe policy (scalar scan; tracking.cpp:562-575) ----
+        # ---- 5. keyframe policy (scalar scan; tracking.cpp:562-575);
+        # lane-start frames are each lane's frame 0: forced keyframes with
+        # a fresh parallax/gap carry ----
         def kf_step(carry, x):
             acc_par, last_kf, i = carry
-            inl_i, par_i, ok_i = x
-            acc = acc_par + par_i
-            need = (
+            inl_i, par_i, ok_i, ls_i = x
+            acc = jnp.where(ls_i, 0.0, acc_par + par_i)
+            need = ls_i | (
                 ok_i
                 & (inl_i >= opts.min_keyframe_inliers)
                 & (acc >= opts.min_parallax)
@@ -352,22 +423,25 @@ def build_offline_pipeline(
         _, need_kf = jax.lax.scan(
             kf_step,
             (jnp.float32(0), jnp.int32(0), jnp.int32(1)),
-            (n_inl, parallax, ok),
+            (n_inl, parallax, ok, pair_xlane),
         )
         is_kf = jnp.concatenate([jnp.ones((1,), bool), need_kf])  # frame 0 = KF
 
-        # ---- 6. map build: the LAST K keyframes, one batched insert ----
+        # ---- 6. map build: the LAST K keyframes PER LANE, one batched
+        # insert into a single (lane-merged when B > 1) map ----
         frame_ids = jnp.arange(T, dtype=jnp.int32)
         kf_rank = jnp.where(is_kf, frame_ids, -1)
-        k_sel = min(K, T)                             # top_k needs k <= T
-        sel = jax.lax.top_k(kf_rank, k_sel)[0]        # newest kf ids, desc
-        sel = sel[::-1]                               # ascending
+        k_sel = min(K, T_lane)                        # top_k needs k <= T
+        sel = jax.vmap(lambda r: jax.lax.top_k(r, k_sel)[0])(
+            kf_rank.reshape(B_lanes, T_lane)
+        )[:, ::-1]                                    # [B,k_sel] ascending
         if k_sel < K:                                 # pad dead slots at front
             sel = jnp.concatenate(
-                [jnp.full((K - k_sel,), -1, jnp.int32), sel]
+                [jnp.full((B_lanes, K - k_sel), -1, jnp.int32), sel], axis=1
             )
+        sel = sel.reshape(KT)
         kvalid = sel >= 0
-        slot_frame = jnp.maximum(sel, 0)              # [K] frame index
+        slot_frame = jnp.maximum(sel, 0)              # [KT] frame index
 
         kf_px = px[slot_frame]                        # [K,N,2]
         kf_desc = desc[slot_frame]
@@ -378,9 +452,13 @@ def build_offline_pipeline(
         # between consecutive keyframes (larger baselines -> better
         # per-hop SNR, and ~gap x fewer hops to compound than the
         # frame-to-frame VO chain), falling back to the VO-derived
-        # relative pose where the direct estimate fails ----
+        # relative pose where the direct estimate fails. Slot pairs that
+        # cross a lane block are masked; the chain scan is segmented with
+        # each lane's first slot as its anchor. ----
+        kpair_ix = jnp.arange(KT - 1)
+        kpair_xlane = (kpair_ix % K) == (K - 1)       # slot j+1 starts a lane
         keys_k = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(31), jnp.arange(K - 1)
+            jax.random.PRNGKey(31), kpair_ix % K
         )
 
         def kf_pair_track(dq, vq, dt, vt, pxq, pxt, ddq, ddt, key):
@@ -394,7 +472,7 @@ def build_offline_pipeline(
             pose, _, ok_i = pair_pose(pc, px_n, pvalid, key, d_n)
             return pose.q, pose.t, ok_i
 
-        vo_kf_pose = Pose(poses.q[slot_frame], poses.t[slot_frame])  # [K]
+        vo_kf_pose = Pose(poses.q[slot_frame], poses.t[slot_frame])  # [KT]
         vo_rel = jax.vmap(
             lambda a_q, a_t, b_q, b_t: se3_compose(
                 Pose(b_q, b_t), se3_inverse(Pose(a_q, a_t)))
@@ -410,21 +488,21 @@ def build_offline_pipeline(
                 kf_desc[:-1], kf_fvalid[:-1], kf_desc[1:], kf_fvalid[1:],
                 kf_px[:-1], kf_px[1:], kf_depth[:-1], kf_depth[1:], keys_k,
             )
-            use_k = ok_k & kvalid[1:] & kvalid[:-1]
+            use_k = ok_k & kvalid[1:] & kvalid[:-1] & ~kpair_xlane
             rel_k = Pose(
                 jnp.where(use_k[:, None], rk_q, vo_rel.q),
                 jnp.where(use_k[:, None], rk_t, vo_rel.t),
             )
-        # chain elements: lane 0 carries the first slot's VO pose (the
-        # anchor — identity unless the oldest keyframes were evicted),
-        # lane j>0 the relative pose slot j-1 -> slot j
-        chain = Pose(
-            jnp.concatenate([vo_kf_pose.q[:1], rel_k.q]),
-            jnp.concatenate([vo_kf_pose.t[:1], rel_k.t]),
-        )
-        kf_abs = jax.lax.associative_scan(
-            lambda a, b: se3_compose(b, a), chain
-        )
+        # chain elements: each lane block's first slot carries its own VO
+        # pose (the segment anchor — identity unless the lane's oldest
+        # keyframes were evicted), element j>0 the relative pose
+        # slot j-1 -> slot j; segmented scan resets at lane blocks
+        kstart = (jnp.arange(KT) % K) == 0
+        chain_q = jnp.concatenate([vo_kf_pose.q[:1], rel_k.q])
+        chain_t = jnp.concatenate([vo_kf_pose.t[:1], rel_k.t])
+        chain_q = jnp.where(kstart[:, None], vo_kf_pose.q, chain_q)
+        chain_t = jnp.where(kstart[:, None], vo_kf_pose.t, chain_t)
+        kf_abs = _segmented_compose_scan(chain_q, chain_t, kstart)
         kf_q = kf_abs.q / jnp.maximum(
             jnp.linalg.norm(kf_abs.q, axis=-1, keepdims=True), 1e-12
         )
@@ -434,12 +512,20 @@ def build_offline_pipeline(
             cam, opts, kf_q, kf_t, jnp.where(kvalid, sel, -1),
             kf_px, kf_desc, kf_fvalid, kf_depth, lm_capacity,
             pair_chunk=pair_chunk,
+            pair_valid=None if B_lanes == 1 else ~kpair_xlane,
         )
+
+        # per-lane landmark creation counts (for the split + per-lane
+        # n_landmarks output); identical to the lane's own allocation
+        lane_lm = jnp.sum(
+            links.created.reshape(B_lanes, K * N), axis=1
+        ).astype(jnp.int32)
 
         aux = dict(
             poses_q=poses.q, poses_t=poses.t, tracked=tracked,
             n_inl=n_inl, n_matches=n_matches, parallax=parallax,
             is_kf=is_kf, px=px, desc=desc, valid=valid, dfeat=dfeat,
+            lane_lm=lane_lm,
         )
         return ms, links, aux
 
@@ -460,7 +546,14 @@ def build_offline_pipeline(
         # internal fusion choices, PERF.md round-3 dead ends). pair_ba
         # still serves the standalone archive GBA dispatch in system.py,
         # where the measured win holds.
-        ms, _ = global_ba(ms, cam, gba_opts)
+        #
+        # Folded multi-lane mode: ONE merged solve over the lane-merged
+        # map, gauge-grouped per lane block — global_ba's per-group CG
+        # scalars make it exactly B independent solves (pinned by
+        # tests/test_offline_pipeline.py::test_refine_merged_matches_per_lane).
+        gg = (None if B_lanes == 1 else
+              jnp.repeat(jnp.arange(B_lanes, dtype=jnp.int32), K))
+        ms, _ = global_ba(ms, cam, gba_opts, gauge_group=gg)
         return ms
 
     def run_refine_merged(cam: CameraParams, ms_b: MapState) -> MapState:
@@ -521,7 +614,7 @@ def build_offline_pipeline(
         prev_kf = jnp.maximum(prev_kf, 0)              # [T] frame idx of kf
         write_idx = jnp.where(kvalid, slot_frame, T)   # drop dead slots
         slot_of_frame = jnp.zeros((T,), jnp.int32).at[write_idx].set(
-            jnp.arange(K, dtype=jnp.int32), mode="drop"
+            jnp.arange(KT, dtype=jnp.int32), mode="drop"
         )
         kf_slot_per_frame = slot_of_frame[prev_kf]     # [T]
 
@@ -544,7 +637,7 @@ def build_offline_pipeline(
         feat_lm_f = ms.kf_feat_lm[kf_slot_per_frame]   # [T,N]
         Lp = ms.lm_physical
         keys_rt = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(37), jnp.arange(T)
+            jax.random.PRNGKey(37), jnp.arange(T) % (T // B_lanes)
         )
         lm_pos, lm_alive = ms.lm_pos, ms.lm_alive      # closed over (gathered)
 
@@ -591,6 +684,13 @@ def build_offline_pipeline(
 
         pose_mats = jax.vmap(se3_matrix)(poses)
         pair_inl = jnp.concatenate([jnp.zeros((1,), jnp.int32), n_inl])
+        if B_lanes == 1:
+            n_kf, n_lm = msl.n_keyframes(ms), msl.n_landmarks(ms)
+        else:  # per-lane counts [B]
+            n_kf = jnp.sum(
+                kvalid.reshape(B_lanes, K), axis=1
+            ).astype(jnp.int32)
+            n_lm = aux["lane_lm"]
         out = OfflineOut(
             pose=pose_mats,
             tracked=tracked,
@@ -598,8 +698,8 @@ def build_offline_pipeline(
             n_inliers=jnp.where(rt_ok, rt_inl, pair_inl),
             parallax=jnp.concatenate([jnp.zeros((1,), jnp.float32), parallax]),
             is_keyframe=is_kf,
-            n_keyframes=msl.n_keyframes(ms),
-            n_landmarks=msl.n_landmarks(ms),
+            n_keyframes=n_kf,
+            n_landmarks=n_lm,
         )
         return ms, out
 
@@ -610,24 +710,49 @@ def build_offline_pipeline(
         return run_post(cam, ms, aux)
 
     def run_batched_lanes(cam: CameraParams, images_u8, depths_m):
-        """THE batched multi-lane composition (leading lane axis): vmapped
-        pre, per-lane lax.map refine (rule-8/11 routing), vmapped post.
-        Single source of truth for the single-chip batched mode AND the
-        mesh-sharded per-device body (parallel/batch.py) — they must not
-        diverge or the sharded==unsharded invariant silently breaks."""
-        ms, links, aux = jax.vmap(
-            run_pre, in_axes=(None, 0, 0))(cam, images_u8, depths_m)
-        if refine_iterations > 0:
-            # per-lane sequential GBA: BOTH solvers degrade under a lane
-            # vmap (global_ba's sorted segment scatters ~2.5x, pair_ba's
-            # link gathers ~7x — measured 422 vs 267 aggregate fps at
-            # B=8), so refine runs per lane. The merged-lane single solve
-            # (run_refine_merged) also measured slower, fused AND
-            # standalone (PERF.md round-3 dead ends), but remains the
-            # right shape for a future cross-chip sharded refine.
-            ms = jax.lax.map(
-                lambda ml: run_refine(cam, ml[0], ml[1]), (ms, links))
-        return jax.vmap(run_post, in_axes=(None, 0, 0))(cam, ms, aux)
+        """THE batched multi-lane composition (leading lane axis [B,T,...]):
+        FOLD the lanes into the frame axis and run the single folded
+        pipeline built with ``lanes=B`` — no stage executes under a lane
+        vmap (the round-3 vmap penalty on irregular stages) and the refine
+        is one merged gauge-grouped global_ba instead of a per-lane
+        ``lax.map`` tail (which serialized B solves). Single source of
+        truth for the single-chip batched mode AND the mesh-sharded
+        per-device body (parallel/batch.py) — they must not diverge or the
+        sharded==unsharded invariant silently breaks. Returns per-lane
+        (MapState [B,...], OfflineOut [B,T,...]), split out of the merged
+        tables (bit-compatible with what per-lane builds would produce)."""
+        B, T_lane = images_u8.shape[:2]
+        folded = build_offline_pipeline(
+            None, opts,
+            n_features_cap=N, kf_capacity=K, lm_capacity=B * K * N,
+            orb_kwargs=orb_kwargs, extract_chunk=extract_chunk,
+            pair_chunk=pair_chunk, pnp_hypotheses=pnp_hypotheses,
+            refine_iterations=refine_iterations,
+            gba_cg_iterations=gba_cg_iterations, monocular=monocular,
+            retrack_refine_iters=retrack_refine_iters,
+            retrack_hypotheses=retrack_hypotheses,
+            mono_pair_hypotheses=mono_pair_hypotheses, lanes=B,
+        )
+        flat = lambda x: x.reshape((B * T_lane,) + x.shape[2:])
+        ms, out = folded(cam, flat(images_u8), flat(depths_m))
+        # counts are per-lane [B] from the folded build, scalars when B==1
+        # (a single lane per device happens under full mesh sharding)
+        n_kf = out.n_keyframes.reshape(B)
+        n_lm = out.n_landmarks.reshape(B)
+        out_lanes = OfflineOut(
+            pose=out.pose.reshape(B, T_lane, 4, 4),
+            tracked=out.tracked.reshape(B, T_lane),
+            n_matches=out.n_matches.reshape(B, T_lane),
+            n_inliers=out.n_inliers.reshape(B, T_lane),
+            parallax=out.parallax.reshape(B, T_lane),
+            is_keyframe=out.is_keyframe.reshape(B, T_lane),
+            n_keyframes=n_kf,
+            n_landmarks=n_lm,
+        )
+        return (
+            split_merged_lanes(ms, B, K, N, T_lane, n_lm),
+            out_lanes,
+        )
 
     run.pre, run.refine, run.post = run_pre, run_refine, run_post
     run.refine_merged = run_refine_merged
@@ -635,13 +760,61 @@ def build_offline_pipeline(
     return run
 
 
+def split_merged_lanes(ms: MapState, B: int, K: int, N: int, T_lane: int,
+                       lane_lm: jnp.ndarray) -> MapState:
+    """Split a lane-merged MapState (B*K keyframe slots, lane-major
+    contiguous landmark allocation — what the ``lanes=B`` folded pipeline
+    builds) into per-lane MapStates stacked on a leading [B] axis.
+
+    Lane b's landmarks occupy merged rows [start_b, start_b + lane_lm[b])
+    where start_b is the exclusive cumsum of ``lane_lm`` — the contiguous
+    allocator runs lane-major, so a dynamic slice + link re-offset
+    reproduces exactly the table a per-lane build would have produced
+    (per-lane physical capacity K*N + N padding; the merged physical size
+    B*K*N + N guarantees every slice fits without clamping)."""
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lane_lm)]
+    )[:B]
+    Lp_lane = K * N + N
+    row = jnp.arange(Lp_lane)
+
+    def one(b, start, n_b):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, b * K, K, axis=0)
+        flm = sl(ms.kf_feat_lm)
+        flm = jnp.where(flm >= 0, flm - start, flm)
+        kf_id = sl(ms.kf_id)
+        kf_id = jnp.where(kf_id >= 0, kf_id - b * T_lane, -1)  # within-lane
+        alive = jax.lax.dynamic_slice(ms.lm_alive, (start,), (Lp_lane,))
+        obs = jax.lax.dynamic_slice(ms.lm_obs, (start,), (Lp_lane,))
+        return MapState(
+            kf_q=sl(ms.kf_q), kf_t=sl(ms.kf_t), kf_id=kf_id,
+            kf_px=sl(ms.kf_px), kf_desc=sl(ms.kf_desc),
+            kf_fvalid=sl(ms.kf_fvalid), kf_feat_lm=flm,
+            kf_depth=sl(ms.kf_depth),
+            lm_pos=jax.lax.dynamic_slice(ms.lm_pos, (0, start),
+                                         (3, Lp_lane)),
+            lm_alive=alive & (row < n_b),
+            lm_obs=jnp.where(row < n_b, obs, 0),
+            next_kf=jnp.sum(kf_id >= 0).astype(jnp.int32),
+            next_lm=n_b,
+            lm_dropped=jnp.zeros((), jnp.int32),
+        )
+
+    return jax.vmap(one)(
+        jnp.arange(B, dtype=jnp.int32), starts, lane_lm.astype(jnp.int32)
+    )
+
+
 def default_lane_kf_capacity(T: int) -> int:
-    """Keyframe capacity for a T-frame lane: fixed per-lane costs (map
-    build, keyframe chain, GBA) are O(K) regardless of T, so an oversized
-    K dilutes short lanes (measured: K=128 -> 64 on 120-frame lanes was
-    +34 aggregate fps); ~T/3 keyframes occur at the default policy.
+    """Keyframe capacity for a T-frame lane: per-lane costs (map build,
+    keyframe chain, GBA) are O(K) regardless of T, so an oversized K
+    dilutes short lanes. The keyframe policy's min_keyframe_gap=3 bounds
+    keyframes per lane at ceil(T/3)+1 for ANY data, so ceil(T/3)+8 never
+    overflows at default options (overflow would only drop the OLDEST
+    keyframes; affected frames fall back to VO-anchored poses). Measured
+    on 8x120-frame folded lanes: K 76 -> 48 was +80 aggregate fps.
     Shared by the batched mode and the bench's short-input configs."""
-    return max(16, min(128, -(-T // 2) + 16))
+    return max(16, min(128, -(-T // 3) + 8))
 
 
 def build_keyframe_map(
@@ -656,6 +829,8 @@ def build_keyframe_map(
     kf_depth: jnp.ndarray,    # [K,N]
     lm_capacity: int,
     pair_chunk: int = 16,
+    pair_valid: jnp.ndarray | None = None,  # [K-1] mask (lane-merged maps:
+                                            # False across lane blocks)
 ) -> MapState:
     """Build a MapState from posed keyframe observations in ONE batch:
     depth-backprojected landmarks (tracking.cpp:586-650 semantics) with
@@ -718,7 +893,7 @@ def build_keyframe_map(
     # here — depth already fixes the geometry; what BA needs is the
     # observation links)
     ms, adopter, creator = _link_consecutive_keyframes(
-        ms, cam, opts, pair_chunk
+        ms, cam, opts, pair_chunk, pair_valid
     )
     links = PairLinks(
         created=ok_alloc.reshape(K, N),
@@ -731,7 +906,8 @@ def build_keyframe_map(
 
 
 def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
-                                opts: TrackingOptions, pair_chunk: int = 16):
+                                opts: TrackingOptions, pair_chunk: int = 16,
+                                pair_valid: jnp.ndarray | None = None):
     """Give landmarks multi-view observation links: match each keyframe to
     its successor and point the successor's matched features at the
     predecessor's landmarks (the observation structure the reference builds
@@ -773,6 +949,8 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
         & ok_z
         & (err <= opts.triangulation_max_reproj_error)
     )
+    if pair_valid is not None:  # lane-merged maps: no cross-lane adoption
+        adopt = adopt & pair_valid[:, None]
     # target feature of kf k+1 gains the link if it is currently FREE
     target_free = jnp.take_along_axis(lm_next, res.idx, axis=1) < 0
     adopt = adopt & target_free
@@ -893,20 +1071,19 @@ def run_offline_pipeline_batched(
     axis simply vmaps on top — no per-lane branch divergence to pay (the
     reason the batched ONLINE mode lost to single-stream)."""
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
-    # per-lane chunks shrink under the batched vmap: a lane chunk of c costs
-    # B*c live distance matrices, so default smaller than single-stream
-    kw.setdefault("extract_chunk", 2)
-    kw.setdefault("pair_chunk", 8)
+    # folded lanes (round 4): the lane axis folds into the frame axis, so
+    # chunk sizes are the single-stream ones — a chunk of c covers c
+    # frames/pairs TOTAL regardless of B (no per-lane multiplication)
+    kw.setdefault("extract_chunk", 8)
+    kw.setdefault("pair_chunk", 32)
     T = images_u8.shape[1]
     kw.setdefault("kf_capacity", default_lane_kf_capacity(T))
-    # the per-lane lax.map GBA is the serial tail of the batched run (ATE
-    # measured invariant across refine iterations; bump for harder data)
     kw.setdefault("refine_iterations", 1)
     kw.setdefault("gba_cg_iterations", 8)
     kw.setdefault("n_features_cap", 1024)
     kw.setdefault("pnp_hypotheses", 16)
-    # K*N is the allocator's exact worst case: sized to it, lm_dropped == 0
-    # is guaranteed (capacity below it drops silently but for lm_dropped)
+    # per-lane K*N is the allocator's exact worst case; batched_lanes sizes
+    # the merged capacity to B*K*N itself, so lm_dropped == 0 is guaranteed
     kw.setdefault("lm_capacity", kw["kf_capacity"] * kw["n_features_cap"])
     kw.setdefault("monocular", False)
     fn = _compiled_offline(

@@ -94,6 +94,14 @@ def _empty_obs(n: int) -> FrameObs:
     )
 
 
+def _empty_match(n: int) -> matching.MatchResult:
+    return matching.MatchResult(
+        idx=jnp.zeros((n,), jnp.int32),
+        dist=jnp.full((n,), 1e9, jnp.float32),
+        valid=jnp.zeros((n,), bool),
+    )
+
+
 def _clear_map(ms: MapState) -> MapState:
     """map_->removeAll() (map.cpp:40-47) as mask resets."""
     return ms._replace(
@@ -122,12 +130,14 @@ def build_scan_step(
     lm_capacity: int = 1 << 17,
     orb_kwargs: dict | None = None,
     stage_limit: int = 2,
+    batched: bool = False,
 ):
     """Build the per-frame scan body, closed over static options.
 
     ``stage_limit`` is a profiling knob: 0 = extraction only, 1 =
     extraction + tracking (state machine and map growth disabled),
-    2 = the full pipeline.
+    2 = the full pipeline. ``batched`` marks that the step will run under
+    a lane vmap (keeps data-dependent early exits out of the body).
     """
     orb_kwargs = dict(orb_kwargs or {})
     orb_kwargs.setdefault("n_slots", n_features_cap)
@@ -140,6 +150,11 @@ def build_scan_step(
         min_point_observations=opts.ba_min_point_observations,
         huber_delta=opts.ba_huber_delta,
         max_reproj_error=opts.ba_max_reproj_error,
+        # the scan body is not vmapped (config 1 is single-stream), so the
+        # reference's convergence break genuinely skips iterations here;
+        # the batched variant vmaps the step, where while_loop would run
+        # to the lane max anyway — keep the masked scan there
+        early_exit=not batched,
     )
 
     def mat_pose(R, t):
@@ -148,23 +163,63 @@ def build_scan_step(
     # ------------------------------------------------------------------
     def track_branch(st: ScanState, obs, frame_id, key):
         """TRACKING_GOOD: PnP vs last keyframe; essential fallback entered
-        only when PnP fails (tracking.cpp:267-330)."""
+        only when PnP fails (tracking.cpp:267-330).
+
+        Returns the RAW knn2 ratio match (pre distance-filter) alongside
+        the tracking result: a keyframe event this frame triangulates
+        exactly this (keyframe, current) pair, and the reference's
+        TriangulateWithLastKeyFrame re-matches WITHOUT the min-dist filter
+        (tracking.cpp:856-874) — so the raw match is reusable as-is and
+        the event saves a full Hamming GEMM."""
         slot = jnp.maximum(st.last_kf_slot, 0)
         k1, k2 = jax.random.split(key)
 
-        m = matching.match_frames(
+        m_raw = matching.knn2_ratio_match(
             st.ms.kf_desc[slot], st.ms.kf_fvalid[slot], obs.desc, obs.valid
         )
+        m = matching.reference_distance_filter(m_raw)
         n_matches = jnp.sum(m.valid).astype(jnp.int32)
         pts3d, pts2d, pvalid = stages.pnp_correspondences(st.ms, slot, obs, m)
         n_pairs = jnp.sum(pvalid).astype(jnp.int32)
-        sol = pnp_ransac(
-            cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
-            n_hypotheses=opts.pnp_hypotheses,
-            refine_iters=opts.pnp_refine_iters,
-            init_pose=st.cur_pose,
-            depth_curr=obs.depth[m.idx] if opts.pnp_use_depth else None,
-        )
+        depth_curr = obs.depth[m.idx] if opts.pnp_use_depth else None
+
+        # two-tier PnP: a cheap fan first (the motion-prior IRLS hypothesis
+        # wins almost always in steady state), then ESCALATE to the full
+        # blind-init budget under lax.cond only when the cheap consensus is
+        # weak — below 2x min_inliers or 30% of the candidate pairs, the
+        # regime where recovery is hypothesis-bound (utils/config.py
+        # calibration note). In the non-vmapped scan the cond branch costs
+        # nothing unless taken, so steady-state frames pay ~1/3 of the
+        # previous flat budget while hard frames get MORE than before.
+        if batched:
+            # under the lane vmap a cond becomes a select (every lane pays
+            # both tiers): keep the flat configured budget there
+            sol = pnp_ransac(
+                cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
+                n_hypotheses=opts.pnp_hypotheses,
+                refine_iters=opts.pnp_refine_iters,
+                init_pose=st.cur_pose, depth_curr=depth_curr,
+            )
+        else:
+            sol = pnp_ransac(
+                cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
+                n_hypotheses=min(8, opts.pnp_hypotheses),
+                refine_iters=min(2, opts.pnp_refine_iters),
+                init_pose=st.cur_pose, depth_curr=depth_curr,
+            )
+            weak = sol.n_inliers < jnp.maximum(
+                2 * opts.min_inliers, (3 * n_pairs) // 10
+            )
+
+            def escalate(_):
+                return pnp_ransac(
+                    cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
+                    n_hypotheses=max(64, opts.pnp_hypotheses),
+                    refine_iters=max(6, opts.pnp_refine_iters),
+                    init_pose=st.cur_pose, depth_curr=depth_curr,
+                )
+
+            sol = jax.lax.cond(weak, escalate, lambda _: sol, None)
         pnp_ok = (
             (n_matches >= opts.min_matches)
             & (n_pairs >= opts.min_inliers)
@@ -207,7 +262,7 @@ def build_scan_step(
             last_inliers=jnp.where(ok, inliers, st.last_inliers),
             last_parallax=jnp.where(ok, parallax, st.last_parallax),
         )
-        return st, n_matches_out, inliers, parallax, ok
+        return st, n_matches_out, inliers, parallax, ok, m_raw
 
     # ------------------------------------------------------------------
     def init_first(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
@@ -228,16 +283,18 @@ def build_scan_step(
             lambda s: s,
             st,
         )
-        return st, jnp.int32(0), jnp.int32(0), jnp.float32(0), ok
+        return (st, jnp.int32(0), jnp.int32(0), jnp.float32(0), ok,
+                _empty_match(n_features_cap))
 
     # ------------------------------------------------------------------
     def init_second(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
         """InitWithSecondFrame (tracking.cpp:206-263), with the RGB-D PnP
         init extension and the reference's pixel/radian parallax quirk."""
         k1, k2 = jax.random.split(key)
-        m = matching.match_frames(
+        m_raw = matching.knn2_ratio_match(
             st.init_obs.desc, st.init_obs.valid, obs.desc, obs.valid
         )
+        m = matching.reference_distance_filter(m_raw)
         n_matches = jnp.sum(m.valid).astype(jnp.int32)
         parallax = stages.parallax_px(st.init_obs.px, obs.px, m)
 
@@ -309,6 +366,7 @@ def build_scan_step(
                 ms, cam, slot1, slot2,
                 opts.triangulation_min_angle_deg,
                 opts.triangulation_max_reproj_error,
+                res=m_raw,  # this exact pair was just matched above
             )
             return st._replace(
                 ms=ms,
@@ -323,11 +381,15 @@ def build_scan_step(
             )
 
         st = jax.lax.cond(ok, accept, lambda s: s, st)
-        return st, n_matches, inliers, parallax, ok
+        return st, n_matches, inliers, parallax, ok, m_raw
 
     # ------------------------------------------------------------------
-    def create_keyframe(st: ScanState, obs, frame_id):
-        """CreateKeyFrame + culling + local BA (tracking.cpp:76-85, 577-584)."""
+    def create_keyframe(st: ScanState, obs, frame_id, kf_match=None):
+        """CreateKeyFrame + culling + local BA (tracking.cpp:76-85, 577-584).
+
+        ``kf_match``: the raw knn2 match (prev keyframe -> current obs)
+        already computed by this frame's track stage; passing it saves the
+        triangulation re-match (a full Hamming GEMM) on every event."""
         ms = st.ms
         # recycle dead landmark slots before the allocator runs dry (long
         # sequences: ring-evicted keyframes leave most of the table dead)
@@ -348,6 +410,7 @@ def build_scan_step(
             ms, cam, prev_slot, slot,
             opts.triangulation_min_angle_deg,
             opts.triangulation_max_reproj_error,
+            res=kf_match,
         )
         if opts.enable_culling:
             def cull(ms):
@@ -406,7 +469,7 @@ def build_scan_step(
             )
             return st, out
         if stage_limit == 1:  # profiling: extraction + tracking compute
-            st2, n_matches, inliers, parallax, ok = track_branch(
+            st2, n_matches, inliers, parallax, ok, _ = track_branch(
                 st, obs, frame_id, key
             )
             out = FrameOut(
@@ -426,14 +489,14 @@ def build_scan_step(
             )
 
         def do_good(st):
-            st2, n_matches, inliers, parallax, ok = track_branch(
+            st2, n_matches, inliers, parallax, ok, m_raw = track_branch(
                 st, obs, frame_id, key
             )
             # HandleTrackingFailure (tracking.cpp:467-475): GOOD -> BAD
             st2 = st2._replace(
                 tstate=jnp.where(ok, st2.tstate, jnp.int32(BAD))
             )
-            return st2, n_matches, inliers, parallax, ok
+            return st2, n_matches, inliers, parallax, ok, m_raw
 
         def do_reset(st):
             # HandleTrackingBad/Lost (tracking.cpp:477-499)
@@ -448,7 +511,7 @@ def build_scan_step(
                 last_parallax=jnp.float32(0),
             )
             return (st2, jnp.int32(0), jnp.int32(0), jnp.float32(0),
-                    jnp.asarray(False))
+                    jnp.asarray(False), _empty_match(n_features_cap))
 
         was_state = st.tstate
         was_init_first = (was_state == INIT) & ~st.have_init
@@ -457,8 +520,8 @@ def build_scan_step(
         branch = jnp.where(was_state == INIT, 0,
                            jnp.where(was_state == GOOD, 1, 2))
         with jax.named_scope("state_dispatch"):
-            st2, n_matches, inliers, parallax, step_ok = jax.lax.switch(
-                branch, [do_init, do_good, do_reset], st
+            st2, n_matches, inliers, parallax, step_ok, kf_match = (
+                jax.lax.switch(branch, [do_init, do_good, do_reset], st)
             )
 
         just_initialized = was_init_second & step_ok
@@ -475,7 +538,9 @@ def build_scan_step(
         )
         with jax.named_scope("keyframe_event"):
             st3 = jax.lax.cond(
-                need_kf, lambda s: create_keyframe(s, obs, frame_id), lambda s: s,
+                need_kf,
+                lambda s: create_keyframe(s, obs, frame_id, kf_match),
+                lambda s: s,
                 st2,
             )
 
@@ -647,6 +712,7 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             lm_capacity=lm_capacity,
             orb_kwargs=orb_kw,
             stage_limit=stage_limit,
+            batched=True,
         )
         obs, mean, std = jax.vmap(
             lambda g, d: extract_sequence(g, d, orb_kw, chunk=2)

@@ -92,6 +92,11 @@ class TrackingOptions:
     # competes as a motion-prior IRLS hypothesis, so a smaller raw budget
     # covers the same failure modes (recovery is hypothesis-bound only
     # below ~30% inliers — tests/test_estimation.py pins both regimes).
+    # ESCAPE HATCH: that calibration is from synthetic fr-class scenes; on
+    # harder data where inliers drop below ~30% WHILE the motion prior is
+    # also poor, raise this (config/reference_strict.cfg restores a
+    # 64-hypothesis budget, and blind init always uses
+    # max(64, pnp_hypotheses) regardless of this flag).
     pnp_hypotheses: int = 24
     pnp_refine_iters: int = 4
 
