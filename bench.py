@@ -238,25 +238,23 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
         _record_error("2_monocular", e)
 
     # ---- 2b. monocular on the FAST path: the offline pipeline's
-    # essential + scale-chain variant (same strided zero-depth input) ----
+    # essential + scale-chain variant. T=240 strided frames spanning FOUR
+    # trajectory loops (VERDICT r3 #7: fixed costs — map build, keyframe
+    # chain, GBA — amortize honestly at real sequence length; T=60 was
+    # fixed-cost-bound) ----
     try:
         _check_budget()
         from visionx_slam_tpu.tracking.offline_pipeline import (
+            default_lane_kf_capacity,
             run_offline_pipeline,
         )
 
-        g2 = gd[::4]
+        g2 = jnp.tile(gd, (4, 1, 1))[::4]     # 4 loops, stride 4 -> T=240
         d2 = jnp.zeros(g2.shape, jnp.float32)
         T2 = int(g2.shape[0])
-
-        from visionx_slam_tpu.tracking.offline_pipeline import (
-            default_lane_kf_capacity,
-        )
+        gt2b = np.tile(gts, (4, 1))[::4]
 
         def run2b(g, d):
-            # keyframe capacity sized to the short strided input: fixed
-            # O(K) costs (map build, kf chain, GBA) dominate at T=60 with
-            # the default K=128 (the batched mode's shared heuristic)
             _, outs = run_offline_pipeline(
                 cam, g, d, opts, monocular=True,
                 kf_capacity=default_lane_kf_capacity(T2),
@@ -267,11 +265,10 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
         configs["2b_monocular_offline"] = {
             "fps": stats["fps_median"], "n_frames": T2,
             "tracked_frac": float(np.asarray(outs.tracked).mean()),
-            "ate_rmse_m_scale_aligned": scan_ate(outs, gts[::4],
+            "ate_rmse_m_scale_aligned": scan_ate(outs, gt2b,
                                                  with_scale=True),
-            "note": "fast-path mono (essential + scale chain): wins on "
-                    "ATE; fps at T=60 is fixed-cost-bound (the per-pair "
-                    "essential RANSAC dominates)",
+            "note": "fast-path mono (essential + scale chain), 4x-stride "
+                    "over four trajectory loops",
         }
     except Exception as e:
         _record_error("2b_monocular_offline", e)

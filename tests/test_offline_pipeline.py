@@ -80,6 +80,32 @@ def test_offline_batched_matches_single(seq):
     assert int(np.asarray(ob.n_keyframes)[0]) == int(o1.n_keyframes)
 
 
+def test_keyframe_policy_matches_scan(seq):
+    """The offline policy's accumulated-parallax proxy (module docstring
+    'DOCUMENTED DEVIATION') vs the scan pipeline's exact vs-keyframe
+    parallax on the same sequence: keyframe COUNTS must agree closely and
+    decisions may differ only by small phase shifts (the proxy can fire
+    one frame early under direction reversals), never by wholesale
+    disagreement."""
+    from visionx_slam_tpu.tracking.scan_pipeline import run_scan_pipeline
+
+    ds, grays, depths, cam = seq
+    opts = TrackingOptions()
+    _, o_off = run_offline_pipeline(cam, grays, depths, opts,
+                                    kf_capacity=16)
+    _, o_scan = run_scan_pipeline(cam, grays, depths, opts)
+
+    kf_off = np.flatnonzero(np.asarray(o_off.is_keyframe))
+    kf_scan = np.flatnonzero(np.asarray(o_scan.is_keyframe))
+    assert abs(len(kf_off) - len(kf_scan)) <= max(
+        2, 0.25 * len(kf_scan)), (kf_off, kf_scan)
+    # every offline keyframe sits within 2 frames of a scan keyframe
+    # (phase shift, not disagreement); the scan's init consumes its first
+    # frame differently, so frame-0/1 anchoring is exempt
+    for f in kf_off:
+        assert np.min(np.abs(kf_scan - f)) <= 2, (f, kf_off, kf_scan)
+
+
 def test_offline_via_system(seq, tmp_path):
     """System pipeline=offline end-to-end: outputs written, metrics sane."""
     ds, grays, depths, cam = seq

@@ -974,9 +974,19 @@ def triangulate_point(P1, P2, x1, x2):
 # and the viewer) + trajectory dump
 # ----------------------------------------------------------------------
 
-def run_sequence(dataset_dir, sequence, options=None, max_frames=None):
+def run_sequence(dataset_dir, sequence, options=None, max_frames=None,
+                 mono=False, frame_stride=1):
     """Run the reference pipeline over a TUM-layout sequence; returns
-    (timestamps, tracked_flags, T_cw_mats)."""
+    (timestamps, tracked_flags, T_cw_mats).
+
+    ``mono=True`` withholds the depth images — exactly the reference's
+    monocular path (tracking.cpp: an empty depth Mat makes
+    CreateLandmarksFromDepth a no-op at :600-607, so the map is built
+    solely by two-view triangulation after the essential-matrix init, and
+    TrackLastFrame's unit-norm translation fixes the arbitrary global
+    scale). ``frame_stride`` subsamples frames (the TPU bench's mono
+    configs use stride 4: fr1-speed 15 mm steps starve the parallax
+    gates; the reference behaves identically)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from visionx_slam_tpu.data import tum
 
@@ -990,10 +1000,12 @@ def run_sequence(dataset_dir, sequence, options=None, max_frames=None):
     tracking = Tracking(opts, ORBExtractor(), ORBMatcher(), mp)
 
     entries = ds.entries if max_frames is None else ds.entries[:max_frames]
+    entries = entries[::frame_stride]
     timestamps, tracked, mats = [], [], []
     for i, e in enumerate(entries):
         rgb = cv2.imread(e.rgb_path, cv2.IMREAD_COLOR)
-        depth = cv2.imread(e.depth_path, cv2.IMREAD_UNCHANGED)
+        depth = (None if mono
+                 else cv2.imread(e.depth_path, cv2.IMREAD_UNCHANGED))
         frame = Frame(i, e.timestamp, camera, rgb, depth)
         tracking.process_frame(frame)
         timestamps.append(e.timestamp)
@@ -1009,11 +1021,15 @@ def main():
     ap.add_argument("--out", default="oracle_trajectory.txt")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--enable_culling", action="store_true")
+    ap.add_argument("--mono", action="store_true",
+                    help="withhold depth: the reference's monocular path")
+    ap.add_argument("--frame_stride", type=int, default=1)
     args = ap.parse_args()
 
     opts = Options(enable_culling=args.enable_culling)
     ts, tracked, mats = run_sequence(
-        args.dataset_dir, args.sequence, opts, args.max_frames)
+        args.dataset_dir, args.sequence, opts, args.max_frames,
+        mono=args.mono, frame_stride=args.frame_stride)
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from visionx_slam_tpu.eval import trajectory as traj

@@ -28,6 +28,47 @@ import numpy as np
 W, H = 640, 480
 FX, FY, CX, CY = 525.0, 525.0, 319.5, 239.5  # fr3-style, zero distortion
 
+# fr1-style optics: the real TUM freiburg1 ROS-default calibration (the
+# values data/tum.py DEFAULT_INTRINSICS carries / dataset_tum_rgbd.cpp:124-165
+# loads), INCLUDING k3 — without the positive r^6 term the fr1 polynomial
+# is non-invertible near the image corners (k2 = -0.95 makes the radial
+# factor non-monotonic), which is exactly why the shipped calibration
+# carries a large k3. The reference's Camera::cameraToPixel applies only
+# k1,k2,p1,p2 (camera.cpp:17-28) and its frontend none at all
+# (projection.h:10) — both systems are equally blind to the rendered
+# distortion, which is what the fidelity comparison measures.
+FR1 = dict(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+           k1=0.2624, k2=-0.9531, p1=-0.0054, p2=0.0026, k3=1.1633)
+
+_RAY_CACHE: dict = {}
+
+
+def _ray_grid(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0):
+    """Per-pixel normalized ray (x, y) such that distorting (x, y) with
+    the 5-coefficient radial-tangential model lands exactly on that pixel
+    — the inverse of the physical image formation, so a world point
+    rendered at pixel (u, v) re-projects to (u, v) under the full model.
+    Fixed-point undistortion iteration (cv2.undistortPoints' algorithm;
+    20 steps, converges over the full image for the fr1 calibration)."""
+    key = (fx, fy, cx, cy, k1, k2, p1, p2, k3)
+    if key in _RAY_CACHE:
+        return _RAY_CACHE[key]
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    if k1 or k2 or p1 or p2 or k3:
+        for _ in range(20):
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+    _RAY_CACHE[key] = (x, y)
+    return x, y
+
 
 @dataclass
 class Plane:
@@ -128,11 +169,21 @@ def trajectory_pose(i: int, n: int, frames_per_loop: int = 240) -> tuple[np.ndar
 
 
 def render_frame(
-    planes: list[Plane], R_wc: np.ndarray, t_wc: np.ndarray
+    planes: list[Plane], R_wc: np.ndarray, t_wc: np.ndarray,
+    intr: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ray-cast the scene: returns (gray uint8 [H,W], depth_m float32 [H,W])."""
-    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
-    dirs_cam = np.stack([(u - CX) / FX, (v - CY) / FY, np.ones_like(u)], axis=-1)
+    """Ray-cast the scene: returns (gray uint8 [H,W], depth_m float32 [H,W]).
+
+    ``intr``: dict(fx, fy, cx, cy[, k1, k2, p1, p2]) — distorted optics
+    render through the undistorted ray grid (see _ray_grid); default is
+    the distortion-free fr3 model."""
+    if intr is None:
+        intr = dict(fx=FX, fy=FY, cx=CX, cy=CY)
+    x, y = _ray_grid(intr["fx"], intr["fy"], intr["cx"], intr["cy"],
+                     intr.get("k1", 0.0), intr.get("k2", 0.0),
+                     intr.get("p1", 0.0), intr.get("p2", 0.0),
+                     intr.get("k3", 0.0))
+    dirs_cam = np.stack([x, y, np.ones_like(x)], axis=-1)
     dirs_world = dirs_cam @ R_wc.T  # [H,W,3]
     origin = t_wc
 
@@ -172,14 +223,21 @@ def generate_sequence(
     seed: int = 0,
     fps: float = 30.0,
     frames_per_loop: int = 240,
+    camera: str = "fr3",
 ) -> str:
-    """Write a synthetic sequence in TUM RGB-D layout; returns dataset root."""
+    """Write a synthetic sequence in TUM RGB-D layout; returns dataset root.
+
+    ``camera``: "fr3" (distortion-free, the default) or "fr1" (freiburg1
+    optics with the real TUM fr1 radial-tangential distortion; pair it
+    with a sequence name containing "freiburg1" so the loader picks the
+    matching intrinsics file, dataset_tum_rgbd.cpp:124-165 semantics)."""
     import cv2
 
     seq_dir = os.path.join(out_root, sequence)
     os.makedirs(os.path.join(seq_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(seq_dir, "depth"), exist_ok=True)
 
+    intr = FR1 if camera == "fr1" else dict(fx=FX, fy=FY, cx=CX, cy=CY)
     planes = make_scene(seed)
     t0 = 1305031102.0  # arbitrary TUM-looking epoch
     rgb_lines, depth_lines, gt_lines = [], [], []
@@ -187,7 +245,7 @@ def generate_sequence(
     for i in range(n_frames):
         ts = t0 + i / fps
         R_wc, t_wc = trajectory_pose(i, n_frames, frames_per_loop)
-        gray, depth = render_frame(planes, R_wc, t_wc)
+        gray, depth = render_frame(planes, R_wc, t_wc, intr=intr)
 
         rgb_rel = f"rgb/{ts:.6f}.png"
         depth_rel = f"depth/{ts:.6f}.png"
@@ -213,9 +271,16 @@ def generate_sequence(
         "# ground truth trajectory\n# ts tx ty tz qx qy qz qw",
         gt_lines,
     )
-    with open(os.path.join(out_root, "color_camera_freiburg3.txt"), "w") as f:
+    version = "1" if camera == "fr1" else "3"
+    with open(os.path.join(out_root, f"color_camera_freiburg{version}.txt"),
+              "w") as f:
         f.write("# fx fy cx cy k1 k2 p1 p2 k3\n")
-        f.write(f"{FX} {FY} {CX} {CY} 0.0 0.0 0.0 0.0 0.0\n")
+        f.write(
+            f"{intr['fx']} {intr['fy']} {intr['cx']} {intr['cy']} "
+            f"{intr.get('k1', 0.0)} {intr.get('k2', 0.0)} "
+            f"{intr.get('p1', 0.0)} {intr.get('p2', 0.0)} "
+            f"{intr.get('k3', 0.0)}\n"
+        )
     return out_root
 
 

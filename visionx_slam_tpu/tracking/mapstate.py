@@ -160,7 +160,17 @@ def insert_keyframe(
     slot = ms.next_kf % ms.kf_capacity
     old_links = ms.kf_feat_lm[slot]
     was_alive = ms.kf_id[slot] >= 0
-    lm_obs = _links_delta(ms, old_links, jnp.broadcast_to(was_alive, old_links.shape), -1)
+    # the eviction decrement only matters once the ring has wrapped; the
+    # cond skips its sort+scatter (~0.2 ms) for the first K inserts of a
+    # sequence (under vmap it becomes a select — the false branch is the
+    # identity, so batched callers lose nothing)
+    lm_obs = jax.lax.cond(
+        was_alive,
+        lambda m: _links_delta(
+            m, old_links, jnp.ones_like(old_links, bool), -1),
+        lambda m: m.lm_obs,
+        ms,
+    )
     ms = ms._replace(lm_obs=lm_obs)
     if fresh_links:
         lm_obs = ms.lm_obs

@@ -25,6 +25,18 @@ Stages (all inside ONE jit):
 5. **Keyframes** — the reference keyframe policy (tracking.cpp:562-575)
    as a scalar ``lax.scan`` over per-pair stats (inliers, accumulated
    parallax, frame gap): microseconds, not a bottleneck.
+
+   DOCUMENTED DEVIATION (parallax proxy): the reference gates on
+   ``last_parallax_`` = the current frame's mean match displacement
+   AGAINST THE LAST KEYFRAME (ComputeParallax(last_keyframe_, current),
+   tracking.cpp:449/:562-575). The batched pre stage only has
+   frame-to-frame pair statistics, so this policy ACCUMULATES per-pair
+   parallax since the last keyframe — an upper bound on the
+   vs-keyframe displacement that coincides with it for smooth
+   forward motion and overestimates it under direction reversals
+   (keyframes then fire slightly earlier). The proxy is pinned against
+   the scan pipeline's exact vs-keyframe policy by
+   tests/test_offline_pipeline.py::test_keyframe_policy_matches_scan.
 6. **Map build** — keyframes inserted in ONE batch (no ring sequencing)
    with depth-backprojected landmarks (tracking.cpp:586-650 semantics),
    allocation contiguous and scatter-sorted.
@@ -170,6 +182,8 @@ def build_offline_pipeline(
     retrack_refine_iters: int = 3,
     retrack_hypotheses: int = 8,
     mono_pair_hypotheses: int = 128,
+    mono_lo_starts: int = 16,
+    mono_link_strides: tuple[int, ...] = (1, 2),
     lanes: int = 1,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
@@ -289,10 +303,13 @@ def build_offline_pipeline(
             # consecutive-frame pairs are high-inlier after the ratio +
             # distance filters, so a smaller raw budget than the online
             # fallback's 256 holds (measured: 128 -> +32% mono fps at
-            # equal ATE); parallax-starved/low-inlier pairs freeze to
-            # identity downstream either way (module docstring)
+            # equal ATE), and the annealed-LO multi-start fan shrinks
+            # 16 -> 4 (the fan exists for the blind low-inlier regime);
+            # parallax-starved/low-inlier pairs freeze to identity
+            # downstream either way (module docstring)
             sol = essential_ransac(cam, pxq, px_n, m.valid, key,
-                                   n_hypotheses=mono_pair_hypotheses)
+                                   n_hypotheses=mono_pair_hypotheses,
+                                   lo_starts=mono_lo_starts)
             x1 = _normalize_px(cam, pxq)
             x2 = _normalize_px(cam, px_n)
             P1 = jnp.concatenate(
@@ -479,8 +496,12 @@ def build_offline_pipeline(
         )(vo_kf_pose.q[:-1], vo_kf_pose.t[:-1],
           vo_kf_pose.q[1:], vo_kf_pose.t[1:])
         if monocular:
-            # a direct keyframe-pair PnP needs metric depth; mono keeps
-            # the composed VO-chain relative poses (pair_ba refines them)
+            # mono keeps the composed VO-chain relative poses: a direct
+            # keyframe-pair Procrustes hop on the chain-synthesized depths
+            # was tried and REGRESSED (176 -> 260 mm scale-aligned at
+            # T=60) — each hop inherits the query frame's LOCAL scale
+            # estimate, noisier than the chain's per-pair median
+            # composition it replaces
             rel_k = vo_rel
         else:
             rk_q, rk_t, ok_k = _chunked_vmap(
@@ -513,6 +534,21 @@ def build_offline_pipeline(
             kf_px, kf_desc, kf_fvalid, kf_depth, lm_capacity,
             pair_chunk=pair_chunk,
             pair_valid=None if B_lanes == 1 else ~kpair_xlane,
+            # mono: a second stride-2 link pass gives landmarks a third
+            # view; two-hop coupling lets global BA correct the scale
+            # chain's relative-scale errors (RGB-D scale is metric from
+            # depth — the extra pass buys nothing there)
+            link_strides=mono_link_strides if monocular else (1,),
+            # Mono map-structure experiments, both available but OFF by
+            # default (measured on the strided synthetic at T=60,
+            # scale-aligned ATE): retriangulate alone 149.7 mm vs 148.9
+            # baseline (noise-level); takeover+retriangulate 159.4 mm
+            # (fewer landmarks per keyframe outweigh the better-placed
+            # shared ones). The mono error floor here is re-track PnP
+            # noise, not landmark placement — the oracle (reference
+            # behavior) sits at 299 mm on the same input.
+            retriangulate=False,
+            takeover=False,
         )
 
         # per-lane landmark creation counts (for the split + per-lane
@@ -831,6 +867,15 @@ def build_keyframe_map(
     pair_chunk: int = 16,
     pair_valid: jnp.ndarray | None = None,  # [K-1] mask (lane-merged maps:
                                             # False across lane blocks)
+    link_strides: tuple[int, ...] = (1,),   # extra passes (e.g. (1, 2))
+                                            # give landmarks 3rd views —
+                                            # see _link_consecutive_keyframes
+    retriangulate: bool = False,            # re-triangulate adopted
+                                            # landmarks from their two
+                                            # KEYFRAME views (mono mode)
+    takeover: bool = False,                 # adoption REPLACES the
+                                            # target's own 1-obs landmark
+                                            # (mono mode; parity passes)
 ) -> MapState:
     """Build a MapState from posed keyframe observations in ONE batch:
     depth-backprojected landmarks (tracking.cpp:586-650 semantics) with
@@ -892,9 +937,96 @@ def build_keyframe_map(
     # multi-view observations for BA (two-view DLT creation is unnecessary
     # here — depth already fixes the geometry; what BA needs is the
     # observation links)
-    ms, adopter, creator = _link_consecutive_keyframes(
-        ms, cam, opts, pair_chunk, pair_valid
-    )
+    if takeover:
+        # mono: two parity sub-passes — even pairs (0-1, 2-3, ...) then
+        # odd pairs (1-2, 3-4, ...) — so within a pass no keyframe is both
+        # a query and a train (orphan kills are then safe), while the odd
+        # pass re-exports landmarks adopted in the even pass, reproducing
+        # the reference's sequential chain (3-view landmarks across
+        # consecutive keyframe triples)
+        parity = jnp.arange(K - 1) % 2
+        base_pv = (pair_valid if pair_valid is not None
+                   else jnp.ones((K - 1,), bool))
+        adopter = jnp.full((K, N), -1, jnp.int32)
+        creator = jnp.full((K, N), -1, jnp.int32)
+        for p in (0, 1):
+            ms, ad_p, cr_p = _link_consecutive_keyframes(
+                ms, cam, opts, pair_chunk, base_pv & (parity == p),
+                takeover=True,
+            )
+            adopter = jnp.where(ad_p >= 0, ad_p, adopter)
+            creator = jnp.where(cr_p >= 0, cr_p, creator)
+    else:
+        ms, adopter, creator = _link_consecutive_keyframes(
+            ms, cam, opts, pair_chunk, pair_valid
+        )
+    # additional stride passes enrich the map only (PairLinks stays the
+    # stride-1 pairwise structure pair_ba consumes); each pass adopts into
+    # features still FREE after the previous ones
+    for s in link_strides:
+        if s == 1:
+            continue
+        pv = None
+        if pair_valid is not None:
+            # same-lane for stride s: the stride-1 lane mask composed
+            pv = jnp.ones((K - s,), bool)
+            for j in range(s):
+                pv = pv & pair_valid[j:j + K - s]
+        ms, _, _ = _link_consecutive_keyframes(
+            ms, cam, opts, pair_chunk, pv, stride=s
+        )
+
+    if retriangulate:
+        # MONO landmark polish: positions were backprojected from the
+        # scale chain's SYNTHESIZED depths — triangulated at ~1-frame
+        # baselines, the dominant noise source of the mono re-track
+        # (measured: per-frame log-scale jitter up to +-2, not smooth
+        # drift). Landmarks with an adoption link are seen from TWO
+        # KEYFRAMES (~min_keyframe_gap x the baseline): re-triangulating
+        # those by DLT under the chained keyframe poses cuts depth noise
+        # by the baseline ratio. Gated by two-sided reprojection; each
+        # landmark has exactly one creating (k, n) row, so the update is
+        # a collision-free sorted scatter. (RGB-D keeps sensor depth —
+        # metric and already low-noise.)
+        from ..models.estimation import projection_matrix, triangulate_dlt
+
+        from ..ops.camera import project_pinhole
+
+        pose_k = Pose(kf_q[:-1], kf_t[:-1])
+        pose_n = Pose(kf_q[1:], kf_t[1:])
+        P1 = jax.vmap(lambda q, t: projection_matrix(cam, Pose(q, t)))(
+            pose_k.q, pose_k.t)
+        P2 = jax.vmap(lambda q, t: projection_matrix(cam, Pose(q, t)))(
+            pose_n.q, pose_n.t)
+        px_a = jnp.swapaxes(ms.kf_px[:-1], 1, 2)          # [K-1,N,2]
+        px_b_all = jnp.swapaxes(ms.kf_px[1:], 1, 2)
+        ad = adopter[:-1]                                  # [K-1,N]
+        px_b = jnp.take_along_axis(
+            px_b_all, jnp.maximum(ad, 0)[..., None], axis=1
+        )
+        X = jax.vmap(triangulate_dlt)(P1, P2, px_a, px_b)  # [K-1,N,3]
+        uv1, z1ok, _ = project_pinhole(
+            cam, Pose(pose_k.q[:, None, :], pose_k.t[:, None, :]), X)
+        uv2, z2ok, _ = project_pinhole(
+            cam, Pose(pose_n.q[:, None, :], pose_n.t[:, None, :]), X)
+        err1 = jnp.linalg.norm(uv1 - px_a, axis=-1)
+        err2 = jnp.linalg.norm(uv2 - px_b, axis=-1)
+        lm_here = ms.kf_feat_lm[:-1]
+        good = (
+            (ad >= 0) & (lm_here >= 0)
+            & jnp.all(jnp.isfinite(X), axis=-1)
+            & z1ok & z2ok
+            & (err1 <= opts.triangulation_max_reproj_error)
+            & (err2 <= opts.triangulation_max_reproj_error)
+        )
+        Lp = ms.lm_physical
+        flat_lm = jnp.where(good, lm_here, Lp).reshape(-1)
+        order2 = jnp.argsort(flat_lm)
+        ms = ms._replace(lm_pos=ms.lm_pos.at[:, flat_lm[order2]].set(
+            jnp.where(good[..., None], X, 0.0).reshape(-1, 3).T[:, order2],
+            indices_are_sorted=True, mode="drop",
+        ))
+
     links = PairLinks(
         created=ok_alloc.reshape(K, N),
         adopter=adopter,
@@ -907,40 +1039,48 @@ def build_keyframe_map(
 
 def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
                                 opts: TrackingOptions, pair_chunk: int = 16,
-                                pair_valid: jnp.ndarray | None = None):
+                                pair_valid: jnp.ndarray | None = None,
+                                stride: int = 1, takeover: bool = False):
     """Give landmarks multi-view observation links: match each keyframe to
-    its successor and point the successor's matched features at the
-    predecessor's landmarks (the observation structure the reference builds
-    via TriangulateWithLastKeyFrame + depth creation, tracking.cpp:856-929).
-    One batched match over all consecutive keyframe pairs.
+    the keyframe ``stride`` slots ahead and point the later frame's matched
+    features at the earlier one's landmarks (the observation structure the
+    reference builds via TriangulateWithLastKeyFrame + depth creation,
+    tracking.cpp:856-929). One batched match over all such keyframe pairs.
 
     Because ``lm_prev`` is read from the PRE-adoption table, adoption never
-    chains: every landmark ends with <= 2 observations (creation + at most
-    one adopter in the NEXT keyframe). Returns ``(ms, adopter, creator)``
-    [K,N] int32 link tables exposing that structure (see
-    models/pair_ba.PairLinks): ``adopter[k,n]`` = the kf k+1 feature
-    observing the landmark of slot (k,n), or -1; ``creator[k,m]`` = the
-    kf k-1 slot whose landmark feature (k,m) adopted, or -1."""
+    chains within a pass: every landmark gains at most one observation per
+    pass. Returns ``(ms, adopter, creator)`` [K,N] int32 link tables
+    exposing the pass's structure (see models/pair_ba.PairLinks):
+    ``adopter[k,n]`` = the kf k+stride feature observing the landmark of
+    slot (k,n), or -1; ``creator[k,m]`` = the kf k-stride slot whose
+    landmark feature (k,m) adopted, or -1. A second ``stride=2`` pass on
+    the remaining FREE features (build_keyframe_map ``link_strides``)
+    gives landmarks a third view — two-hop coupling that stiffens global
+    BA's relative-scale propagation, which is what bounds monocular
+    drift (the chain's scale errors are otherwise only locally
+    constrained). ``pair_valid``: [K-stride] mask (lane-merged maps mask
+    cross-lane pairs)."""
     K = ms.kf_capacity
+    s = stride
 
     res = _chunked_vmap(
         matching.match_frames, pair_chunk,
-        ms.kf_desc[: K - 1], ms.kf_fvalid[: K - 1],
-        ms.kf_desc[1:], ms.kf_fvalid[1:],
-    )  # query = kf k, train = kf k+1
+        ms.kf_desc[: K - s], ms.kf_fvalid[: K - s],
+        ms.kf_desc[s:], ms.kf_fvalid[s:],
+    )  # query = kf k, train = kf k+s
 
-    lm_prev = ms.kf_feat_lm[: K - 1]                  # [K-1,N]
-    lm_next = ms.kf_feat_lm[1:]
+    lm_prev = ms.kf_feat_lm[: K - s]                  # [K-s,N]
+    lm_next = ms.kf_feat_lm[s:]
     # adopt the predecessor's landmark where the successor's feature has
     # none; verify geometric consistency by reprojection into the successor
     L = ms.lm_physical
     lmi = jnp.clip(lm_prev, 0, L - 1)
-    pw = jnp.moveaxis(ms.lm_pos[:, lmi], 0, -1)        # [K-1,N,3]
-    pose_next = Pose(ms.kf_q[1:, None, :], ms.kf_t[1:, None, :])
+    pw = jnp.moveaxis(ms.lm_pos[:, lmi], 0, -1)        # [K-s,N,3]
+    pose_next = Pose(ms.kf_q[s:, None, :], ms.kf_t[s:, None, :])
     from ..ops.camera import project_pinhole
 
     uv, ok_z, _ = project_pinhole(cam, pose_next, pw)
-    px_next = jnp.swapaxes(ms.kf_px[1:], 1, 2)         # [K-1,N,2]
+    px_next = jnp.swapaxes(ms.kf_px[s:], 1, 2)         # [K-s,N,2]
     px_at = jnp.take_along_axis(px_next, res.idx[..., None], axis=1)
     err = jnp.linalg.norm(uv - px_at, axis=-1)
     adopt = (
@@ -951,9 +1091,20 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
     )
     if pair_valid is not None:  # lane-merged maps: no cross-lane adoption
         adopt = adopt & pair_valid[:, None]
-    # target feature of kf k+1 gains the link if it is currently FREE
-    target_free = jnp.take_along_axis(lm_next, res.idx, axis=1) < 0
-    adopt = adopt & target_free
+    target_prev = jnp.take_along_axis(lm_next, res.idx, axis=1)
+    if not takeover:
+        # target feature of kf k+s gains the link only if currently FREE
+        adopt = adopt & (target_prev < 0)
+    # with ``takeover`` (mono): the target's own single-observation
+    # synthesized-depth landmark is REPLACED by the matched predecessor's
+    # — the reference's monocular map consists solely of shared two-view
+    # landmarks (TriangulateWithLastKeyFrame), and global BA only
+    # optimizes landmarks with >= 2 observations, so without takeover the
+    # mono map is almost entirely 1-obs landmarks BA cannot touch.
+    # Callers must sequence takeover passes so a pair's TRAIN keyframe is
+    # not simultaneously another pair's QUERY (parity sub-passes): the
+    # orphaned landmark's only observer is the train feature itself,
+    # making the kill below safe.
 
     # dedupe: one query per train feature (best distance first)
     combo = jnp.where(adopt, res.idx.astype(jnp.float32) * 512.0
@@ -981,7 +1132,7 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
         lambda tbl, rr, vv: tbl.at[rr].set(
             vv, indices_are_sorted=True, mode="drop")
     )(lm_next, rows_sorted, links_sorted)
-    kf_feat_lm = ms.kf_feat_lm.at[1:].set(new_next)
+    kf_feat_lm = ms.kf_feat_lm.at[s:].set(new_next)
 
     # pairwise link tables (structure consumed by models/pair_ba): the
     # same row-sorted scatter, carrying the QUERY slot index instead of
@@ -997,11 +1148,11 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
             vv, indices_are_sorted=True, mode="drop")
     )(rows_sorted, qidx_sorted)
     creator = jnp.concatenate(
-        [jnp.full((1, N), -1, jnp.int32), creator_rows]
+        [jnp.full((s, N), -1, jnp.int32), creator_rows]
     )
     adopter = jnp.concatenate(
         [jnp.where(adopt, res.idx, -1).astype(jnp.int32),
-         jnp.full((1, N), -1, jnp.int32)]
+         jnp.full((s, N), -1, jnp.int32)]
     )
 
     # observation counts: +1 per adopted link
@@ -1009,7 +1160,19 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
     lm_obs = ms.lm_obs.at[flat].add(
         jnp.int32(1), indices_are_sorted=True, mode="drop"
     )
-    return ms._replace(kf_feat_lm=kf_feat_lm, lm_obs=lm_obs), adopter, creator
+    lm_alive = ms.lm_alive
+    if takeover:
+        # kill the orphaned targets' previous landmarks (their only
+        # observer just relinked — see parity note above)
+        orphan = jnp.where(adopt & (target_prev >= 0),
+                           jnp.clip(target_prev, 0, L - 1), L)
+        oflat = jnp.sort(orphan.reshape(-1))
+        lm_alive = lm_alive.at[oflat].set(
+            False, indices_are_sorted=True, mode="drop")
+        lm_obs = lm_obs.at[oflat].set(
+            0, indices_are_sorted=True, mode="drop")
+    return (ms._replace(kf_feat_lm=kf_feat_lm, lm_obs=lm_obs,
+                        lm_alive=lm_alive), adopter, creator)
 
 
 @lru_cache(maxsize=4)
