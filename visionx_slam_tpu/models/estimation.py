@@ -741,6 +741,54 @@ def pnp_ransac(
     return PnPResult(pose, mask, n_inliers, ok)
 
 
+@partial(jax.jit, static_argnames=("prior_iters", "refine_iters"))
+def pnp_prior(
+    cam: CameraParams,
+    pts3d: jnp.ndarray,     # [N,3] world landmarks
+    pts2d: jnp.ndarray,     # [N,2] pixels in current frame
+    valid: jnp.ndarray,     # [N] bool
+    init_pose: Pose,
+    reproj_thresh: float = 2.0,
+    prior_iters: int = 4,
+    refine_iters: int = 2,
+) -> PnPResult:
+    """Motion-prior-only PnP: the steady-state tier of the online scan's
+    two-tier tracking (scan_pipeline.track_branch).
+
+    Runs ONLY the motion-prior robust-IRLS hypothesis of ``pnp_ransac``
+    (the hypothesis that wins the consensus almost always once tracking is
+    established — the utils/config.py budget-calibration note) followed by
+    the same final inlier-set GN refinement and inlier re-count. Callers
+    gate on ``n_inliers`` and fall back to the full ``pnp_ransac``
+    hypothesis fan under ``lax.cond`` when the prior-only consensus is
+    weak, so hard frames pay the full budget and steady-state frames skip
+    the sampling/minimal-solver/polish pipeline entirely.
+    """
+    prior = _pose_gn_refine(
+        cam, init_pose, pts3d, pts2d, valid.astype(pts3d.dtype),
+        iters=prior_iters, robust=True,
+        huber_delta=2.0 * reproj_thresh, gate_px=10.0 * reproj_thresh,
+    )
+    R = quat_to_matrix(prior.q)
+    err = _reproj_err_px(cam, R, prior.t, pts3d, pts2d)
+    mask0 = (err < reproj_thresh) & valid
+    finite = jnp.all(jnp.isfinite(prior.q)) & jnp.all(jnp.isfinite(prior.t))
+    pose = Pose(
+        jnp.where(finite, prior.q, jnp.array([1.0, 0, 0, 0], prior.q.dtype)),
+        jnp.where(finite, prior.t, jnp.zeros_like(prior.t)),
+    )
+    pose = _pose_gn_refine(
+        cam, pose, pts3d, pts2d, mask0.astype(pts3d.dtype),
+        iters=refine_iters,
+    )
+    R = quat_to_matrix(pose.q)
+    err = _reproj_err_px(cam, R, pose.t, pts3d, pts2d)
+    mask = (err < reproj_thresh) & valid
+    n_inliers = jnp.sum(mask).astype(jnp.int32)
+    ok = finite & (n_inliers > 0)
+    return PnPResult(pose, mask, n_inliers, ok)
+
+
 # ---------------------------------------------------------------------------
 # triangulation
 # ---------------------------------------------------------------------------

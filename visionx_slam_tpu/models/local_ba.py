@@ -61,6 +61,14 @@ class BAOptions(NamedTuple):
     min_point_observations: int = 2
     huber_delta: float = 5.0
     max_reproj_error: float = 5.0
+    # Relative-cost convergence tolerance. The reference's break is
+    # |last-cost| < 1e-6*last (local_ba.cpp:244-246) — in float32 GN the
+    # cost virtually never settles that far, so the loop runs its full
+    # budget doing noise-level updates. Callers on the latency-critical
+    # online scan raise this to a plateau tolerance (1e-3: exits once an
+    # iteration improves cost by less than 0.1%, 2-3 iterations on a
+    # healthy window); the default keeps the reference rule.
+    rel_tol: float = 1e-6
     # Run the GN loop as a lax.while_loop that STOPS at the reference's
     # convergence test (|last-cost| < 1e-6*last, local_ba.cpp:244-246)
     # instead of a fixed-length lax.scan with masked no-op iterations —
@@ -245,7 +253,7 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
 
         # ============ convergence (local_ba.cpp:240-247) ===================
         converged = (total_obs == 0) | (
-            jnp.abs(last_cost - cost) < 1e-6 * last_cost
+            jnp.abs(last_cost - cost) < opts.rel_tol * last_cost
         )
         iters = iters + jnp.where(done | ~enabled, 0, 1)
         done = done | converged

@@ -95,6 +95,7 @@ class Tracker:
             min_point_observations=self.options.ba_min_point_observations,
             huber_delta=self.options.ba_huber_delta,
             max_reproj_error=self.options.ba_max_reproj_error,
+            rel_tol=self.options.ba_rel_tol,
         )
         self._reset_episode()
 

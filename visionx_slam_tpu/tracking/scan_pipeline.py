@@ -38,6 +38,7 @@ from ..models import matching
 from ..models.estimation import (
     essential_ransac,
     essential_scale_from_depth,
+    pnp_prior,
     pnp_ransac,
 )
 from ..models.local_ba import BAOptions, local_ba
@@ -150,6 +151,7 @@ def build_scan_step(
         min_point_observations=opts.ba_min_point_observations,
         huber_delta=opts.ba_huber_delta,
         max_reproj_error=opts.ba_max_reproj_error,
+        rel_tol=opts.ba_rel_tol,
         # the scan body is not vmapped (config 1 is single-stream), so the
         # reference's convergence break genuinely skips iterations here;
         # the batched variant vmaps the step, where while_loop would run
@@ -183,14 +185,17 @@ def build_scan_step(
         n_pairs = jnp.sum(pvalid).astype(jnp.int32)
         depth_curr = obs.depth[m.idx] if opts.pnp_use_depth else None
 
-        # two-tier PnP: a cheap fan first (the motion-prior IRLS hypothesis
-        # wins almost always in steady state), then ESCALATE to the full
-        # blind-init budget under lax.cond only when the cheap consensus is
-        # weak — below 2x min_inliers or 30% of the candidate pairs, the
-        # regime where recovery is hypothesis-bound (utils/config.py
-        # calibration note). In the non-vmapped scan the cond branch costs
-        # nothing unless taken, so steady-state frames pay ~1/3 of the
-        # previous flat budget while hard frames get MORE than before.
+        # two-tier PnP, prior-first: in steady state the motion-prior IRLS
+        # hypothesis wins pnp_ransac's consensus almost always
+        # (utils/config.py calibration note), so tier 0 runs ONLY that
+        # hypothesis (pnp_prior: IRLS from the previous pose + inlier-set
+        # refine) and the full blind-budget hypothesis fan is ESCALATED to
+        # under lax.cond only when the prior-only consensus is weak —
+        # below 2x min_inliers or 30% of the candidate pairs, the regime
+        # where recovery is hypothesis-bound. In the non-vmapped scan the
+        # cond branch costs nothing unless taken, so steady-state frames
+        # skip the sampling/minimal-solver/polish pipeline entirely while
+        # hard frames get the full recovery budget.
         if batched:
             # under the lane vmap a cond becomes a select (every lane pays
             # both tiers): keep the flat configured budget there
@@ -201,11 +206,10 @@ def build_scan_step(
                 init_pose=st.cur_pose, depth_curr=depth_curr,
             )
         else:
-            sol = pnp_ransac(
-                cam, pts3d, pts2d, pvalid, k1, opts.max_reproj_error,
-                n_hypotheses=min(8, opts.pnp_hypotheses),
+            sol = pnp_prior(
+                cam, pts3d, pts2d, pvalid, st.cur_pose,
+                opts.max_reproj_error,
                 refine_iters=min(2, opts.pnp_refine_iters),
-                init_pose=st.cur_pose, depth_curr=depth_curr,
             )
             weak = sol.n_inliers < jnp.maximum(
                 2 * opts.min_inliers, (3 * n_pairs) // 10

@@ -60,6 +60,14 @@ class TrackingOptions:
     ba_min_point_observations: int = 2
     ba_huber_delta: float = 5.0
     ba_max_reproj_error: float = 5.0
+    # Extension knob (not a reference flag): relative-cost convergence
+    # tolerance for local BA's early exit. The reference's rule is 1e-6
+    # (local_ba.cpp:244-246), which float32 GN practically never reaches —
+    # the loop then always runs its full ba_iterations budget. The default
+    # 1e-3 is a plateau test (stop once an iteration improves cost by
+    # < 0.1%; 2-3 iterations on a healthy window, measured ATE-neutral);
+    # config/reference_strict.cfg restores 1e-6.
+    ba_rel_tol: float = 1e-3
 
     # ===== New-framework extensions (not reference flags) =====
     # Recover the metric scale of the two-frame essential initialization
