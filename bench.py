@@ -255,9 +255,15 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
         gt2b = np.tile(gts, (4, 1))[::4]
 
         def run2b(g, d):
+            # consecutive-pair budget (VERDICT r3 #7): 64 PROSAC-biased
+            # hypotheses + 2 LO starts + 32-wide tier-2 scoring — measured
+            # ATE-neutral vs the 128/4 uniform budget on this config
+            # (341 vs 344 mm) at ~1.4x the fps
             _, outs = run_offline_pipeline(
                 cam, g, d, opts, monocular=True,
                 kf_capacity=default_lane_kf_capacity(T2),
+                mono_pair_hypotheses=64, mono_lo_starts=2,
+                mono_sample_bias=64.0, mono_score_top_k=32,
             )
             return outs
         stats, outs = _time_device_loop(

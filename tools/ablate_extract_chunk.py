@@ -25,7 +25,11 @@ def main():
     gd = jax.device_put(jnp.asarray(grays))
     dd = jax.device_put(jnp.asarray(depths))
 
-    for chunk in (8, 16, 32, 48):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", default="8,16")
+    chunks = tuple(int(c) for c in ap.parse_args().chunks.split(","))
+    for chunk in chunks:
         fn = jax.jit(lambda g, d, c=chunk: sp.extract_sequence(g, d, {}, c))
         fn(gd, dd)
         ts = []

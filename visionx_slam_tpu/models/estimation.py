@@ -48,7 +48,8 @@ BIG = 1e9
 # ---------------------------------------------------------------------------
 
 def sample_minimal_sets(
-    key: jax.Array, valid: jnp.ndarray, n_hypotheses: int, k: int
+    key: jax.Array, valid: jnp.ndarray, n_hypotheses: int, k: int,
+    log_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[H, k] int32 indices, distinct within a hypothesis, valid-only.
 
@@ -57,10 +58,19 @@ def sample_minimal_sets(
     rejection loop (TPU-friendly replacement for sequential RANSAC draws).
     If fewer than k valid entries exist, invalid indices leak in; callers
     gate on the overall inlier count, so such hypotheses lose the argmax.
+
+    ``log_weights`` [N] (optional) biases the draw PROSAC-style: Gumbel +
+    log w samples without replacement with probability ∝ w, so
+    higher-quality correspondences (e.g. lower Hamming distance) seed the
+    minimal sets more often — a smaller hypothesis budget then reaches the
+    clean-sample quality of a larger uniform one. Scoring/consensus are
+    unaffected (every correspondence still votes).
     """
     n = valid.shape[0]
     g = jax.random.gumbel(key, (n_hypotheses, n))
     scores = g + jnp.where(valid[None, :], 0.0, -jnp.inf)
+    if log_weights is not None:
+        scores = scores + log_weights[None, :]
     _, idx = jax.lax.top_k(scores, k)
     return idx.astype(jnp.int32)
 
@@ -136,18 +146,31 @@ class EssentialResult(NamedTuple):
     ok: jnp.ndarray           # bool
 
 
-def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """x1,x2: [8,2] normalized coords -> E [3,3] (unprojected to manifold)."""
+def _eight_point_raw(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """x1,x2: [8,2] normalized coords -> RAW (unprojected) E [3,3].
+
+    Deliberately NOT projected to the essential manifold: the projection
+    costs a 3x3 SVD per hypothesis, and tiny batched SVDs schedule
+    pathologically on TPU. The RANSAC stage ranks hypotheses by Sampson
+    consensus at a LOOSE 4x gate, where the raw-vs-projected difference is
+    far inside the gate; only the top-K surviving hypotheses get the SVD
+    (see _project_essential / essential_ransac)."""
     ones = jnp.ones_like(x1[:, :1])
     h1 = jnp.concatenate([x1, ones], -1)  # [8,3]
     h2 = jnp.concatenate([x2, ones], -1)
     # row = kron(x2, x1): constraint x2^T E x1 = 0, E row-major
     A = (h2[:, :, None] * h1[:, None, :]).reshape(8, 9)
     e = _smallest_eigvec(A.T @ A)
-    E = e.reshape(3, 3)
-    # project to the essential manifold: singular values (1, 1, 0)
-    U, S, Vt = jnp.linalg.svd(E)
-    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+    return e.reshape(3, 3)
+
+
+def _project_essential(E: jnp.ndarray):
+    """Project E to the essential manifold (singular values (1,1,0));
+    returns (Ep, U, Vt) so callers can decompose into (R, t) candidates
+    from the SAME factors without a second SVD."""
+    U, _, Vt = jnp.linalg.svd(E)
+    Ep = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+    return Ep, U, Vt
 
 
 def _sampson_sq(E: jnp.ndarray, h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
@@ -258,7 +281,8 @@ def _refine_essential_pose(R0, t0, h1, h2, w, iters: int = 10):
     return R, t
 
 
-@partial(jax.jit, static_argnames=("n_hypotheses", "lo_starts"))
+@partial(jax.jit, static_argnames=("n_hypotheses", "lo_starts",
+                                   "polish_iters", "score_top_k"))
 def essential_ransac(
     cam: CameraParams,
     px_last: jnp.ndarray,   # [N,2] pixels in the LAST frame
@@ -268,6 +292,19 @@ def essential_ransac(
     thresh_px: float = 1.0,      # reference tracking.cpp:521
     n_hypotheses: int = 256,
     lo_starts: int = 16,
+    polish_iters: int = 10,  # GN manifold-polish budget (the winner's
+                             # Sampson refine); high-inlier consecutive
+                             # pairs converge in 3-4
+    sample_logw: jnp.ndarray | None = None,  # [N] PROSAC-style sampling
+                             # bias (see sample_minimal_sets); scoring is
+                             # unaffected
+    score_top_k: int | None = None,  # tier-2 width: how many Sampson-
+                             # ranked hypotheses get the SVD + cheirality
+                             # vote. None -> ALL hypotheses (the raw
+                             # pre-selection pass is then dead code and
+                             # XLA DCEs it, so default callers compile to
+                             # the original one-tier program). Mono
+                             # offline passes a narrow K explicitly.
 ) -> EssentialResult:
     """Essential-matrix RANSAC + pose recovery.
 
@@ -301,32 +338,54 @@ def essential_ransac(
     h1 = jnp.concatenate([x1, ones], -1)
     h2 = jnp.concatenate([x2, ones], -1)
 
-    idx = sample_minimal_sets(key, valid, n_hypotheses, 8)  # [H,8]
-    Es = jax.vmap(lambda ii: _eight_point(x1[ii], x2[ii]))(idx)  # [H,3,3]
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 8,
+                              log_weights=sample_logw)  # [H,8]
+    Es_raw = jax.vmap(lambda ii: _eight_point_raw(x1[ii], x2[ii]))(idx)
 
     thresh_norm = thresh_px / (0.5 * (cam.fx + cam.fy))
-    d2 = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es)  # [H,N]
+    d2 = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es_raw)  # [H,N]
     # hypothesis SELECTION happens at a loose 4x threshold: at low inlier
     # ratios no clean 8-sample exists (0.3^8 ~ 7e-5), and the best
     # partially-contaminated sample is near the truth only in the WIDE
     # basin — a tight gate rewards small locally-consistent junk models
     # instead. The LO loop below anneals back down to 1x.
-    inl = (d2 < (4.0 * thresh_norm) ** 2) & valid[None, :]
+    inl_raw = (d2 < (4.0 * thresh_norm) ** 2) & valid[None, :]
 
-    # decompose every hypothesis (the 3x3 SVD is already paid per
-    # hypothesis for the manifold projection in _eight_point)
-    def decompose(E):
-        U, _, Vt = jnp.linalg.svd(E)
+    # ---- two-tier scoring (opt-in): the H-wide stage pays ONLY the
+    # Sampson count; manifold projection (3x3 SVD), decomposition and the
+    # 4-way cheirality-gated scoring run on the TOP-K hypotheses by
+    # Sampson consensus. The docstring's plane-degeneracy argument still
+    # holds: the true model fits the plane PLUS the off-plane points, so
+    # its Sampson count is never below a junk family member's — the family
+    # is separated INSIDE the top-K by the cheirality gate exactly as
+    # before. With K == H (the default) the selection is the identity and
+    # the raw-Sampson pass is dead code, so default callers keep the
+    # original one-tier program bit-for-bit.
+    score_k = min(n_hypotheses, score_top_k) if score_top_k is not None \
+        else n_hypotheses
+    if score_k == n_hypotheses:
+        hsel = jnp.arange(n_hypotheses, dtype=jnp.int32)
+    else:
+        n_sampson = jnp.sum(inl_raw, axis=1)              # [H]
+        _, hsel = jax.lax.top_k(n_sampson, score_k)       # [K]
+    Es, Us, Vts = jax.vmap(_project_essential)(Es_raw[hsel])
+    # re-gate the projected models at the same loose threshold (projection
+    # shifts E slightly; keeps consensus semantics identical to scoring
+    # the projected model directly)
+    d2_k = jax.vmap(lambda E: _sampson_sq(E, h1, h2))(Es)  # [K,N]
+    inl = (d2_k < (4.0 * thresh_norm) ** 2) & valid[None, :]
+
+    def decompose_uv(U, Vt):
         U = U * jnp.sign(jnp.linalg.det(U))
         Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
         W = jnp.array(
-            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype
+            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], U.dtype
         )
         tu = U[:, 2]
         tu = tu / jnp.maximum(jnp.linalg.norm(tu), 1e-12)
         return U @ W @ Vt, U @ W.T @ Vt, tu
 
-    Ras, Rbs, tus = jax.vmap(decompose)(Es)
+    Ras, Rbs, tus = jax.vmap(decompose_uv)(Us, Vts)
 
     def cheir_counts(R, t, inl_h):
         """Gated consensus for one (R, t) candidate: two-ray depth signs
@@ -372,7 +431,7 @@ def essential_ransac(
         e_fit = _smallest_eigvec(w_rows.T @ w_rows).reshape(3, 3)
         Uf, _, Vtf = jnp.linalg.svd(e_fit)
         E_f = Uf @ jnp.diag(jnp.array([1.0, 1.0, 0.0], e_fit.dtype)) @ Vtf
-        Ra_f, Rb_f, tu_f = decompose(E_f)
+        Ra_f, Rb_f, tu_f = decompose_uv(Uf, Vtf)
         inl_f = (_sampson_sq(E_f, h1, h2) < thr**2) & valid
         n_f, R_f, t_f, m_f = score_hyp(Ra_f, Rb_f, tu_f, inl_f)
         # re-score the carried model at THIS threshold so the comparison
@@ -409,7 +468,8 @@ def essential_ransac(
     # GN Sampson polish on the essential manifold (see
     # _refine_essential_pose), accepted only if the gated consensus holds
     Rr, tr = _refine_essential_pose(
-        R0=R, t0=t, h1=h1, h2=h2, w=mask.astype(h1.dtype))
+        R0=R, t0=t, h1=h1, h2=h2, w=mask.astype(h1.dtype),
+        iters=polish_iters)
     E_ref = so3_hat(tr) @ Rr
     inl_ref = (_sampson_sq(E_ref, h1, h2) < thresh_norm**2) & valid
     n_ref, m_ref = cheir_counts(Rr, tr, inl_ref)

@@ -183,7 +183,48 @@ def build_offline_pipeline(
     retrack_hypotheses: int = 8,
     mono_pair_hypotheses: int = 128,
     mono_lo_starts: int = 16,
+    mono_polish_iters: int = 10,
+    mono_score_top_k: int | None = None,  # tier-2 width of the essential
+                                    # RANSAC (estimation.essential_ransac
+                                    # score_top_k)
+    mono_retrack_two_kf: bool = False,  # retrack vs the UNION of the
+                                    # preceding AND following keyframes'
+                                    # landmarks (offline-only leverage:
+                                    # the future keyframe is known).
+                                    # Measured neutral on synthetic fr3
+                                    # (124.3 -> 125.6 mm at T=60) for a
+                                    # ~1% time cost, so off by default;
+                                    # kept as an option for real optics
+                                    # where the retrack PnP is the floor.
+    mono_sample_bias: float = 0.0,  # > 0: PROSAC-style sampling, minimal
+                                    # sets drawn ∝ exp(-dist/bias) (see
+                                    # estimation.sample_minimal_sets)
     mono_link_strides: tuple[int, ...] = (1, 2),
+    mono_loop_pairs: int = 0,       # loop-closure budget (0 = off); see
+                                    # _close_loops. Single-lane mono only:
+                                    # folded-lane parity would need a
+                                    # per-lane greedy pass. Off by default:
+                                    # on loop-free scenes the pass is
+                                    # measured ATE-neutral-to-noise (204 ->
+                                    # 208 mm at T=30) for nonzero cost;
+                                    # enable when the trajectory revisits
+                                    # (see tests/test_offline_mono.py loop
+                                    # test for the win case).
+    mono_loop_min_gap: int = 12,    # min frame separation of a loop pair
+    mono_loop_min_inliers: int = 40,
+    mono_gba_iterations: int = 10,  # GN budget of the WIDE first BA phase
+                                    # that absorbs loop constraints (the
+                                    # correction must diffuse through the
+                                    # pose chain; global_ba's per-group
+                                    # early exit makes surplus iterations
+                                    # cheap once converged)
+    mono_gba_max_reproj: float = 30.0,  # gate of the wide phase: loop
+                                    # links START at the accumulated-drift
+                                    # reprojection error (tens of px) and
+                                    # must not be culled before BA can act;
+                                    # Huber still downweights them. The
+                                    # second phase re-polishes at the
+                                    # standard 5 px gate.
     lanes: int = 1,
 ):
     """Returns run(cam, images[T,H,W]u8, depths[T,H,W]f32) -> (MapState,
@@ -307,9 +348,14 @@ def build_offline_pipeline(
             # 16 -> 4 (the fan exists for the blind low-inlier regime);
             # parallax-starved/low-inlier pairs freeze to identity
             # downstream either way (module docstring)
+            logw = (None if mono_sample_bias <= 0.0
+                    else -m.dist / mono_sample_bias)
             sol = essential_ransac(cam, pxq, px_n, m.valid, key,
                                    n_hypotheses=mono_pair_hypotheses,
-                                   lo_starts=mono_lo_starts)
+                                   lo_starts=mono_lo_starts,
+                                   polish_iters=mono_polish_iters,
+                                   score_top_k=mono_score_top_k,
+                                   sample_logw=logw)
             x1 = _normalize_px(cam, pxq)
             x2 = _normalize_px(cam, px_n)
             P1 = jnp.concatenate(
@@ -551,6 +597,17 @@ def build_offline_pipeline(
             takeover=False,
         )
 
+        if monocular and mono_loop_pairs > 0 and B_lanes == 1:
+            # loop closure (see _close_loops): merge revisited landmarks
+            # so the wide BA phase in run_refine can redistribute the
+            # scale chain's accumulated drift around the loop
+            ms, _, _ = _close_loops(
+                ms, cam, opts, n_pairs=mono_loop_pairs,
+                min_gap_frames=mono_loop_min_gap,
+                min_inliers=mono_loop_min_inliers,
+                key=jax.random.PRNGKey(61),
+            )
+
         # per-lane landmark creation counts (for the split + per-lane
         # n_landmarks output); identical to the lane's own allocation
         lane_lm = jnp.sum(
@@ -568,6 +625,16 @@ def build_offline_pipeline(
     gba_opts = GlobalBAOptions(
         max_iterations=max(refine_iterations, 1),
         cg_iterations=gba_cg_iterations,
+    )
+    # mono loop closure needs a two-phase refine: a WIDE phase whose gate
+    # admits the drifted loop observations (mono_gba_max_reproj) and whose
+    # GN budget lets the correction diffuse through the pose chain, then
+    # the standard-gate polish phase
+    mono_loop_gba = monocular and mono_loop_pairs > 0 and B_lanes == 1
+    wide_gba_opts = GlobalBAOptions(
+        max_iterations=mono_gba_iterations,
+        cg_iterations=max(gba_cg_iterations, 16),
+        max_reproj_error=mono_gba_max_reproj,
     )
 
     def run_refine(cam: CameraParams, ms: MapState,
@@ -589,6 +656,8 @@ def build_offline_pipeline(
         # tests/test_offline_pipeline.py::test_refine_merged_matches_per_lane).
         gg = (None if B_lanes == 1 else
               jnp.repeat(jnp.arange(B_lanes, dtype=jnp.int32), K))
+        if mono_loop_gba:
+            ms, _ = global_ba(ms, cam, wide_gba_opts, gauge_group=gg)
         ms, _ = global_ba(ms, cam, gba_opts, gauge_group=gg)
         return ms
 
@@ -671,6 +740,36 @@ def build_offline_pipeline(
         kd = ms.kf_desc[kf_slot_per_frame]             # [T,N,32]
         kv = ms.kf_fvalid[kf_slot_per_frame]
         feat_lm_f = ms.kf_feat_lm[kf_slot_per_frame]   # [T,N]
+        if monocular and mono_retrack_two_kf:
+            # ---- mono: widen the retrack table with the FOLLOWING
+            # keyframe's landmarks (min kf id >= f; reverse cummax over
+            # negated ids). Offline-only leverage the reference's online
+            # loop cannot have: the future keyframe is already refined, so
+            # every frame PnPs against ~2x the landmarks and its pose is
+            # interpolated between two anchors instead of extrapolated
+            # from one — mono's error floor is this PnP step's noise (see
+            # build_keyframe_map call). Frames past their lane's last
+            # keyframe, or whose next keyframe was never stored, keep the
+            # single-table behavior (use2 masks the copy). ----
+            nk = -jax.lax.associative_scan(
+                jnp.maximum, jnp.where(is_kf, -frame_ids, -(T + 1))[::-1]
+            )[::-1]                                    # [T] or T+1 if none
+            T_l = T // B_lanes
+            has_next = (nk <= T - 1) & ((nk // T_l) == (frame_ids // T_l))
+            nk_c = jnp.where(has_next, nk, prev_kf)
+            slot2 = slot_of_frame[jnp.minimum(nk_c, T - 1)]
+            use2 = (
+                has_next
+                & (slot2 != kf_slot_per_frame)
+                & (ms.kf_id[slot2] == nk_c)            # evicted -> slot 0
+            )
+            kd = jnp.concatenate([kd, ms.kf_desc[slot2]], axis=1)
+            kv = jnp.concatenate(
+                [kv, ms.kf_fvalid[slot2] & use2[:, None]], axis=1
+            )
+            feat_lm_f = jnp.concatenate(
+                [feat_lm_f, ms.kf_feat_lm[slot2]], axis=1
+            )
         Lp = ms.lm_physical
         keys_rt = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(37), jnp.arange(T) % (T // B_lanes)
@@ -1175,11 +1274,135 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
                         lm_alive=lm_alive), adopter, creator)
 
 
+def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
+                 n_pairs: int, min_gap_frames: int, min_inliers: int,
+                 key: jax.Array, ransac_hypotheses: int = 64):
+    """Monocular loop closure as LANDMARK MERGES: detect revisits by
+    global-descriptor similarity, verify each candidate keyframe pair with
+    pair-internal epipolar RANSAC (drift-independent — map reprojection
+    would reject exactly the links loop closure exists to create), and
+    merge the later keyframe's landmarks into the earlier one's. The merged
+    landmarks carry observations from BOTH ends of the loop, so the wide
+    first global-BA phase (see run_refine) can redistribute accumulated
+    drift around the chain — the structural error mono's consecutive-pair
+    scale chain cannot observe (module docstring). The reference has no
+    loop closing (its mono drift is unbounded by design, tracking.cpp's
+    chain is strictly sequential); this pass is an added capability in the
+    spirit of SURVEY §2's global-BA addition.
+
+    Mechanics, all fixed-shape:
+      1. place recognition: per-keyframe bag-of-bits descriptor (mean ORB
+         bit rate over valid features, centered), cosine similarity on the
+         MXU; candidates = pairs >= ``min_gap_frames`` apart (time-ordered:
+         train strictly later).
+      2. per-query best train + greedy top-``n_pairs`` with slot
+         uniqueness (a tiny K-step scan) — no keyframe serves twice, so
+         merges cannot chain through a shared endpoint's table.
+      3. feature match (the standard knn2-ratio + distance filter) and
+         essential RANSAC; a pair contributes only with >= ``min_inliers``
+         verified correspondences.
+      4. merge: remap[late_lm] = early_lm for every inlier correspondence
+         where both features hold live landmarks. Chain-forming merges
+         (a keep-target that is merged away elsewhere, or vice versa) are
+         dropped so ONE gather remaps the whole table; observation counts
+         are rebuilt by histogram and late landmarks die.
+
+    Returns (ms, n_pairs_verified, n_links_merged)."""
+    K, N = ms.kf_fvalid.shape
+    Lp = ms.lm_physical
+    kvalid = ms.kf_id >= 0
+    fvalid = ms.kf_fvalid & kvalid[:, None]
+
+    # ---- 1. place recognition ----
+    bits = matching.unpack_bits(ms.kf_desc).astype(jnp.float32)  # [K,N,256]
+    G = jnp.einsum("knb,kn->kb", bits, fvalid.astype(jnp.float32))
+    G = G / jnp.maximum(
+        jnp.sum(fvalid, axis=1).astype(jnp.float32)[:, None], 1.0) - 0.5
+    Gn = G / jnp.maximum(jnp.linalg.norm(G, axis=1, keepdims=True), 1e-9)
+    sim = Gn @ Gn.T                                              # [K,K]
+    gap = ms.kf_id[None, :] - ms.kf_id[:, None]   # train - query, frames
+    cand = kvalid[:, None] & kvalid[None, :] & (gap >= min_gap_frames)
+    simm = jnp.where(cand, sim, -jnp.inf)
+    best_t = jnp.argmax(simm, axis=1).astype(jnp.int32)         # [K]
+    best_s = jnp.max(simm, axis=1)
+
+    # ---- 2. greedy slot-unique top-n_pairs ----
+    order = jnp.argsort(-best_s).astype(jnp.int32)
+
+    def greedy(used, qi):
+        ti = best_t[qi]
+        ok = jnp.isfinite(best_s[qi]) & ~used[qi] & ~used[ti]
+        used = used.at[qi].set(ok | used[qi])
+        used = used.at[ti].set(ok | used[ti])
+        return used, ok
+
+    _, ok_seq = jax.lax.scan(greedy, jnp.zeros((K,), bool), order)
+    rank = jnp.cumsum(ok_seq.astype(jnp.int32)) - 1
+    put = jnp.where(ok_seq & (rank < n_pairs), rank, n_pairs)
+    qs = jnp.full((n_pairs,), -1, jnp.int32).at[put].set(order, mode="drop")
+    ts = jnp.full((n_pairs,), -1, jnp.int32).at[put].set(
+        best_t[order], mode="drop")
+    active = qs >= 0
+    qc = jnp.maximum(qs, 0)
+    tc = jnp.maximum(ts, 0)
+
+    # ---- 3. match + epipolar verification ----
+    res = _chunked_vmap(
+        matching.match_frames, n_pairs,
+        ms.kf_desc[qc], fvalid[qc] & active[:, None],
+        ms.kf_desc[tc], fvalid[tc],
+    )
+    px_q = jnp.swapaxes(ms.kf_px[qc], 1, 2)                     # [P,N,2]
+    px_t = jnp.take_along_axis(
+        jnp.swapaxes(ms.kf_px[tc], 1, 2), res.idx[..., None], axis=1)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(n_pairs))
+    sol = jax.vmap(lambda pq, pt, v, k: essential_ransac(
+        cam, pq, pt, v, k, n_hypotheses=ransac_hypotheses,
+        lo_starts=4, score_top_k=32))(
+        px_q, px_t, res.valid & active[:, None], keys)
+    inl = sol.inlier_mask & res.valid & active[:, None]         # [P,N]
+    pair_ok = active & sol.ok & (jnp.sum(inl, axis=1) >= min_inliers)
+
+    # ---- 4. conflict-free landmark merge ----
+    lmq = ms.kf_feat_lm[qc]                                     # [P,N]
+    lmt = jnp.take_along_axis(ms.kf_feat_lm[tc], res.idx, axis=1)
+    okl = (
+        inl & pair_ok[:, None]
+        & (lmq >= 0) & (lmt >= 0) & (lmq != lmt)
+        & ms.lm_alive[jnp.clip(lmq, 0, Lp - 1)]
+        & ms.lm_alive[jnp.clip(lmt, 0, Lp - 1)]
+    )
+    keep_f = jnp.where(okl, lmq, Lp).reshape(-1)   # early lm: survives
+    die_f = jnp.where(okl, lmt, Lp).reshape(-1)    # late lm: merged away
+    in_keep = jnp.zeros((Lp + 1,), bool).at[keep_f].set(True)[:Lp]
+    in_die = jnp.zeros((Lp + 1,), bool).at[die_f].set(True)[:Lp]
+    safe = (okl
+            & ~in_die[jnp.clip(lmq, 0, Lp - 1)]    # keep-lm merged away?
+            & ~in_keep[jnp.clip(lmt, 0, Lp - 1)])  # die-lm kept elsewhere?
+    src = jnp.where(safe, lmt, Lp).reshape(-1)
+    dst = jnp.where(safe, lmq, 0).reshape(-1).astype(jnp.int32)
+    remap = jnp.arange(Lp, dtype=jnp.int32).at[src].set(dst, mode="drop")
+    flm = ms.kf_feat_lm
+    new_flm = jnp.where(flm >= 0, remap[jnp.clip(flm, 0, Lp - 1)], flm)
+    killed = jnp.zeros((Lp + 1,), bool).at[src].set(True)[:Lp]
+    lm_alive = ms.lm_alive & ~killed
+    flat = jnp.sort(
+        jnp.where(fvalid & (new_flm >= 0), new_flm, Lp).reshape(-1))
+    hist = jnp.zeros((Lp,), jnp.int32).at[flat].add(
+        jnp.int32(1), indices_are_sorted=True, mode="drop")
+    lm_obs = jnp.where(lm_alive, hist, 0)
+    ms = ms._replace(kf_feat_lm=new_flm, lm_alive=lm_alive, lm_obs=lm_obs)
+    return ms, jnp.sum(pair_ok).astype(jnp.int32), \
+        jnp.sum(safe).astype(jnp.int32)
+
+
 @lru_cache(maxsize=4)
 def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
                       orb_kwargs_tuple, extract_chunk, pair_chunk,
                       pnp_hypotheses, refine_iterations, batched=False,
-                      gba_cg_iterations=8, monocular=False):
+                      gba_cg_iterations=8, monocular=False,
+                      mono_kw_tuple=()):
     opts = TrackingOptions(**dict(opts_key))
     run = build_offline_pipeline(
         None, opts,
@@ -1190,6 +1413,7 @@ def _compiled_offline(opts_key, n_features_cap, kf_capacity, lm_capacity,
         refine_iterations=refine_iterations,
         gba_cg_iterations=gba_cg_iterations,
         monocular=monocular,
+        **dict(mono_kw_tuple),
     )
     if batched:
         return jax.jit(run.batched_lanes)
@@ -1211,6 +1435,9 @@ def run_offline_pipeline(
     refine_iterations: int = 1,
     gba_cg_iterations: int = 8,
     monocular: bool = False,
+    **mono_kw,            # mono budget knobs forwarded to
+                          # build_offline_pipeline (mono_pair_hypotheses,
+                          # mono_lo_starts, mono_link_strides, ...)
 ) -> tuple[MapState, OfflineOut]:
     opts_key = tuple(sorted(dataclasses.asdict(opts).items()))
     fn = _compiled_offline(
@@ -1218,6 +1445,7 @@ def run_offline_pipeline(
         tuple(sorted((orb_kwargs or {}).items())), extract_chunk,
         pair_chunk, pnp_hypotheses, refine_iterations,
         gba_cg_iterations=gba_cg_iterations, monocular=monocular,
+        mono_kw_tuple=tuple(sorted(mono_kw.items())),
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
 
