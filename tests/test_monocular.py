@@ -56,3 +56,32 @@ def test_monocular_tracks_up_to_scale(mono_seq):
     # accuracy benchmark
     ate = traj.ate_rmse(est, gt, with_scale=True)
     assert ate < 0.3, ate
+
+
+def test_monocular_accuracy_with_mono_options(mono_seq):
+    """The bench's mono option set (link_tracked_landmarks +
+    min_init_landmarks, config.py extensions): keyframes inherit the
+    landmarks their matches track and rotation-only init pairs are
+    rejected, so the map stays dense enough for PnP throughout — every
+    frame tracked, and the scale-aligned ATE tightens well below the
+    strict-structure bound above (measured 0.078 m at T=60/stride 4 vs
+    0.199 m without; the oracle's reference-faithful run is 0.362 m)."""
+    import dataclasses
+
+    ds, grays, depths, cam = mono_seq
+    opts = dataclasses.replace(
+        TrackingOptions(), link_tracked_landmarks=True,
+        min_init_landmarks=25,
+    )
+    st, outs = run_scan_pipeline(cam, grays, depths, opts)
+    jax.block_until_ready(outs)
+    tracked = np.asarray(outs.tracked)
+    assert tracked.sum() >= len(tracked) - 2, tracked.sum()
+    poses = np.asarray(outs.pose)
+    gt = np.asarray([e.gt_t for e, s in zip(ds.entries, tracked) if s])
+    est = np.asarray(
+        [traj.tcw_to_twc(poses[i])[:3, 3]
+         for i in range(len(tracked)) if tracked[i]]
+    )
+    ate = traj.ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.15, ate

@@ -318,9 +318,9 @@ def essential_ransac(
     the fixed 256-hypothesis budget exceeds the adaptive-iteration count
     the reference's 0.999 confidence typically settles at.
 
-    Hypotheses are scored by CHEIRALITY-GATED consensus (Sampson inlier
-    AND both two-ray depths positive AND within the 50-unit gate), not by
-    Sampson alone. This matters on plane-dominated views: a dominant
+    Hypotheses are scored by SIGN-GATED consensus (Sampson inlier AND
+    both two-ray depths positive), not by Sampson alone. This matters on
+    plane-dominated views: a dominant
     homography H admits a 2-parameter family of essentials that all fit
     the plane's correspondences to sub-pixel Sampson error but differ
     wildly in translation direction — measured on synthetic fr-class
@@ -388,11 +388,20 @@ def essential_ransac(
     Ras, Rbs, tus = jax.vmap(decompose_uv)(Us, Vts)
 
     def cheir_counts(R, t, inl_h):
-        """Gated consensus for one (R, t) candidate: two-ray depth signs
-        (closed-form 2x2 least squares of z1 R x1 + t = z2 x2 — far
-        cheaper than DLT, exact for sign/gate purposes)."""
+        """SELECTION consensus for one (R, t) candidate: two-ray depth
+        SIGNS only (closed-form 2x2 least squares of z1 R x1 + t = z2 x2
+        — far cheaper than DLT, exact for sign purposes). Deliberately
+        NOT the 50-unit distance gate: cv2 selects E by Sampson consensus
+        (findEssentialMat) and only measures the distance gate afterwards
+        (recoverPose). Selecting WITH the gate rewards wrong models at
+        small baselines — a bad t-direction compresses triangulated
+        depths UNDER the gate (measured: frame-1 pair, t.dot(gt)=0.08,
+        418/509 gated inliers vs the true model's 7), which made init
+        fire 8 frames before the oracle. Depth SIGNS still separate the
+        plane-degenerate essential family (the docstring's homography
+        case), so the selection keeps that robustness."""
         z1, z2 = _two_ray_depths(R, t, h1, h2)
-        good = inl_h & (z1 > 0) & (z2 > 0) & (z1 < 50.0)
+        good = inl_h & (z1 > 0) & (z2 > 0)
         return jnp.sum(good), good
 
     def score_hyp(Ra, Rb, tu, inl_h):
@@ -422,7 +431,7 @@ def essential_ransac(
     def gate_at(R_, t_, E_, thr):
         inl_ = (_sampson_sq(E_, h1, h2) < thr**2) & valid
         z1, z2 = _two_ray_depths(R_, t_, h1, h2)
-        m_ = inl_ & (z1 > 0) & (z2 > 0) & (z1 < 50.0)
+        m_ = inl_ & (z1 > 0) & (z2 > 0)  # signs only; see cheir_counts
         return jnp.sum(m_), m_
 
     def lo_step(carry, thr):
@@ -477,11 +486,20 @@ def essential_ransac(
     R = jnp.where(better, Rr, R)
     t = jnp.where(better, tr, t)
     E = jnp.where(better, E_ref, E)
-    cheir_mask = jnp.where(better, m_ref, mask)
-    n_inliers = jnp.sum(cheir_mask).astype(jnp.int32)
+    # cv::recoverPose's 50-unit distance gate, applied POST-selection to
+    # the chosen model exactly as cv2 applies it to findEssentialMat's
+    # winner (both cameras' depths positive and within 50 baseline
+    # units). At tiny baselines this count collapses for an accurate
+    # model (true depth >> 50 x baseline), which is what defers the
+    # reference's monocular init until real parallax exists
+    # (tracking.cpp:232 via min_inliers on the recoverPose count).
+    z1f, z2f = _two_ray_depths(R, t, h1, h2)
+    inl_f = (_sampson_sq(E, h1, h2) < thresh_norm**2) & valid
+    dist_mask = inl_f & (z1f > 0) & (z2f > 0) & (z1f < 50.0) & (z2f < 50.0)
+    n_inliers = jnp.sum(dist_mask).astype(jnp.int32)
 
     ok = (n_inliers > 0) & jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
-    return EssentialResult(R, t, E, cheir_mask, n_inliers, ok)
+    return EssentialResult(R, t, E, dist_mask, n_inliers, ok)
 
 
 @jax.jit

@@ -43,7 +43,7 @@ from ..models.estimation import (
 )
 from ..models.local_ba import BAOptions, local_ba
 from ..models.orb_jax import orb_extract
-from ..ops.camera import CameraParams, backproject
+from ..ops.camera import CameraParams, backproject, project_pinhole
 from ..ops.se3 import Pose, identity_pose, matrix_to_quat, se3_compose, se3_matrix
 from ..utils.config import TrackingOptions
 from . import mapstate as msl
@@ -337,6 +337,16 @@ def build_scan_step(
         ess_ok = ess.ok & (ess.n_inliers >= opts.min_inliers)
 
         pose_e = mat_pose(ess.R, t_init)
+        if opts.min_init_landmarks > 0:
+            # init viability gate (extension, config.py min_init_landmarks):
+            # accept the essential init only if the pair would actually
+            # populate a map under the triangulation gates
+            n_tri = stages.triangulable_count(
+                cam, st.init_obs.px, obs.px[m_raw.idx], m_raw.valid, pose_e,
+                opts.triangulation_min_angle_deg,
+                opts.triangulation_max_reproj_error,
+            )
+            ess_ok = ess_ok & (n_tri >= opts.min_init_landmarks)
         if opts.rgbd_init:
             pose2 = _select(pnp_ok, sol.pose, pose_e)
             inliers = jnp.where(pnp_ok, sol.n_inliers, ess.n_inliers)
@@ -402,12 +412,37 @@ def build_scan_step(
             msl.compact_landmarks, lambda m: m, ms,
         )
         prev_slot = jnp.maximum(st.last_kf_slot, 0)
+        if opts.link_tracked_landmarks and kf_match is not None:
+            # ORB-SLAM-style association (extension, config.py
+            # link_tracked_landmarks): before inserting, the new keyframe's
+            # features inherit the landmarks of the PREVIOUS keyframe
+            # features they matched, reprojection-gated against the current
+            # pose — without this (the reference's structure) a monocular
+            # keyframe's links come solely from fresh triangulation and the
+            # next PnP starves.
+            prev_lm = ms.kf_feat_lm[prev_slot]                    # [Nq]
+            lmc = jnp.clip(prev_lm, 0, ms.lm_pos.shape[1] - 1)
+            pw = ms.lm_pos[:, lmc].T                              # [Nq,3]
+            uv, okp, _ = project_pinhole(cam, st.cur_pose, pw)
+            err = jnp.linalg.norm(uv - obs.px[kf_match.idx], axis=-1)
+            good = (
+                kf_match.valid & (prev_lm >= 0) & ms.lm_alive[lmc]
+                & obs.valid[kf_match.idx] & okp
+                & (err <= opts.max_reproj_error)
+            )
+            # scatter-max dedupes duplicate train rows (FREE = -1 loses to
+            # any real landmark id)
+            links = jnp.full((n_features_cap,), FREE, jnp.int32).at[
+                kf_match.idx].max(jnp.where(good, lmc, FREE))
+        else:
+            links = jnp.full((n_features_cap,), FREE, jnp.int32)
         with jax.named_scope("kf_insert"):
             ms, slot = msl.insert_keyframe(
             ms, frame_id.astype(jnp.int32), st.cur_pose,
             obs.px, obs.desc, obs.valid,
-            jnp.full((n_features_cap,), FREE, jnp.int32), obs.depth,
-            fresh_links=True,
+            links, obs.depth,
+            fresh_links=not (opts.link_tracked_landmarks
+                             and kf_match is not None),
         )
         ms = stages.depth_landmarks(ms, cam, slot, st.cur_pose)
         ms = stages.triangulate_pair(

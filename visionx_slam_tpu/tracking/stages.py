@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..models import matching
 from ..models.estimation import projection_matrix, triangulate_dlt
 from ..ops.camera import CameraParams, backproject, project_pinhole
-from ..ops.se3 import Pose, quat_rotate, se3_apply, se3_inverse
+from ..ops.se3 import Pose, identity_pose, quat_rotate, se3_apply, se3_inverse
 from . import mapstate as msl
 from .mapstate import FREE, OUTLIER, MapState
 
@@ -144,6 +144,42 @@ def depth_landmarks(
 # ---------------------------------------------------------------------------
 
 @jax.jit
+def triangulable_count(
+    cam: CameraParams,
+    px_a: jnp.ndarray,        # [N,2] first-frame pixels (pose = identity)
+    px_b: jnp.ndarray,        # [N,2] matched second-frame pixels
+    valid: jnp.ndarray,       # [N] match mask
+    pose_b: Pose,             # T_cw of the second frame
+    min_angle_deg: float | jnp.ndarray,
+    max_reproj: float | jnp.ndarray,
+) -> jnp.ndarray:
+    """How many matches would TRIANGULATE under triangulate_pair's angle +
+    two-sided-reprojection gates (tracking.cpp:881-929), without touching
+    the map. Drives the init viability gate (config min_init_landmarks):
+    a near-pure-rotation init pair can carry a plausible recoverPose
+    inlier count while almost no ray pair clears the angle gate."""
+    pose_a = identity_pose()
+    f_a = backproject(cam, px_a, jnp.ones_like(px_a[:, 0]))
+    f_b = backproject(cam, px_b, jnp.ones_like(px_a[:, 0]))
+    f_a = f_a / jnp.maximum(jnp.linalg.norm(f_a, axis=-1, keepdims=True), 1e-12)
+    f_b = f_b / jnp.maximum(jnp.linalg.norm(f_b, axis=-1, keepdims=True), 1e-12)
+    fw_a = quat_rotate(se3_inverse(pose_a).q, f_a)
+    fw_b = quat_rotate(se3_inverse(pose_b).q, f_b)
+    cos_ang = jnp.clip(jnp.sum(fw_a * fw_b, axis=-1), -1.0, 1.0)
+    angle_ok = jnp.arccos(cos_ang) >= jnp.deg2rad(min_angle_deg)
+    pw = triangulate_dlt(projection_matrix(cam, pose_a),
+                         projection_matrix(cam, pose_b), px_a, px_b)
+    finite = jnp.all(jnp.isfinite(pw), axis=-1)
+    uv1, ok1, _ = project_pinhole(cam, pose_a, pw)
+    uv2, ok2, _ = project_pinhole(cam, pose_b, pw)
+    reproj_ok = (
+        ok1 & ok2
+        & (jnp.linalg.norm(uv1 - px_a, axis=-1) <= max_reproj)
+        & (jnp.linalg.norm(uv2 - px_b, axis=-1) <= max_reproj)
+    )
+    return jnp.sum(valid & angle_ok & finite & reproj_ok).astype(jnp.int32)
+
+
 def triangulate_pair(
     ms: MapState,
     cam: CameraParams,

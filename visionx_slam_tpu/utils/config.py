@@ -107,6 +107,23 @@ class TrackingOptions:
     # max(64, pnp_hypotheses) regardless of this flag).
     pnp_hypotheses: int = 24
     pnp_refine_iters: int = 4
+    # Associate the CURRENT frame's features with the landmarks their
+    # keyframe matches already carry when the frame becomes a keyframe
+    # (reprojection-gated ORB-SLAM-style association). The reference never
+    # does this — its TriangulateWithLastKeyFrame only SKIPS already-linked
+    # pairs (tracking.cpp:876-879), so a new keyframe's landmark links come
+    # solely from fresh triangulation; in monocular mode that starves PnP
+    # (measured: a healthy 245-landmark init followed by a keyframe with 1
+    # linked feature and an immediate tracking collapse). False = strict
+    # reference behavior; the bench's monocular configs enable it.
+    link_tracked_landmarks: bool = False
+    # Reject the two-frame essential initialization unless at least this
+    # many matches would actually TRIANGULATE under the configured angle +
+    # reprojection gates (tracking.cpp:881-929): near-pure-rotation pairs
+    # can pass the recoverPose inlier gate while leaving a map too thin to
+    # track against (measured: a 25-inlier pair yielding ONE landmark).
+    # 0 = strict reference behavior (no viability gate).
+    min_init_landmarks: int = 0
 
 
 @dataclass
