@@ -163,7 +163,7 @@ def build_scan_step(
         return Pose(matrix_to_quat(R), t)
 
     # ------------------------------------------------------------------
-    def track_branch(st: ScanState, obs, frame_id, key):
+    def track_branch(st: ScanState, obs, frame_id, k1, k2):
         """TRACKING_GOOD: PnP vs last keyframe; essential fallback entered
         only when PnP fails (tracking.cpp:267-330).
 
@@ -174,7 +174,6 @@ def build_scan_step(
         (tracking.cpp:856-874) — so the raw match is reusable as-is and
         the event saves a full Hamming GEMM."""
         slot = jnp.maximum(st.last_kf_slot, 0)
-        k1, k2 = jax.random.split(key)
 
         m_raw = matching.knn2_ratio_match(
             st.ms.kf_desc[slot], st.ms.kf_fvalid[slot], obs.desc, obs.valid
@@ -269,7 +268,7 @@ def build_scan_step(
         return st, n_matches_out, inliers, parallax, ok, m_raw
 
     # ------------------------------------------------------------------
-    def init_first(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
+    def init_first(st: ScanState, obs, frame_id, gray_mean, gray_std, k1, k2):
         """InitWithFirstFrame (tracking.cpp:177-204)."""
         n = jnp.sum(obs.valid)
         dist_ok = stages.feature_distribution_ok(obs.px, obs.valid, W_IMG, H_IMG)
@@ -291,10 +290,9 @@ def build_scan_step(
                 _empty_match(n_features_cap))
 
     # ------------------------------------------------------------------
-    def init_second(st: ScanState, obs, frame_id, gray_mean, gray_std, key):
+    def init_second(st: ScanState, obs, frame_id, gray_mean, gray_std, k1, k2):
         """InitWithSecondFrame (tracking.cpp:206-263), with the RGB-D PnP
         init extension and the reference's pixel/radian parallax quirk."""
-        k1, k2 = jax.random.split(key)
         m_raw = matching.knn2_ratio_match(
             st.init_obs.desc, st.init_obs.valid, obs.desc, obs.valid
         )
@@ -492,8 +490,11 @@ def build_scan_step(
         identical to the reference's in-loop extract (tracking.cpp:42),
         but the scan body now starts at the matcher, which roughly halves
         the serial per-frame critical path."""
-        frame_id, obs, gray_mean, gray_std = inp
-        key = jax.random.fold_in(jax.random.PRNGKey(17), frame_id)
+        frame_id, obs, gray_mean, gray_std, k12 = inp
+        # per-frame keys are precomputed OUTSIDE the scan (frame_keys):
+        # bit-identical to fold_in+split here, but the two threefry
+        # derivations leave the serial per-frame chain
+        k1, k2 = k12[0], k12[1]
         fvalid = obs.valid
 
         if stage_limit == 0:  # profiling: extraction only
@@ -509,7 +510,7 @@ def build_scan_step(
             return st, out
         if stage_limit == 1:  # profiling: extraction + tracking compute
             st2, n_matches, inliers, parallax, ok, _ = track_branch(
-                st, obs, frame_id, key
+                st, obs, frame_id, k1, k2
             )
             out = FrameOut(
                 pose=se3_matrix(st2.cur_pose), tracked=ok, state=st.tstate,
@@ -522,14 +523,14 @@ def build_scan_step(
         def do_init(st):
             return jax.lax.cond(
                 st.have_init,
-                lambda s: init_second(s, obs, frame_id, gray_mean, gray_std, key),
-                lambda s: init_first(s, obs, frame_id, gray_mean, gray_std, key),
+                lambda s: init_second(s, obs, frame_id, gray_mean, gray_std, k1, k2),
+                lambda s: init_first(s, obs, frame_id, gray_mean, gray_std, k1, k2),
                 st,
             )
 
         def do_good(st):
             st2, n_matches, inliers, parallax, ok, m_raw = track_branch(
-                st, obs, frame_id, key
+                st, obs, frame_id, k1, k2
             )
             # HandleTrackingFailure (tracking.cpp:467-475): GOOD -> BAD
             st2 = st2._replace(
@@ -714,6 +715,18 @@ def extract_sequence(images_u8, depths_m, orb_kwargs, chunk: int = 8):
     return obs, unc(mean), unc(std)
 
 
+
+def frame_keys(frame_ids):
+    """Per-frame (k1, k2) PRNG keys, [T,2,2] uint32 — bit-identical to the
+    in-body ``split(fold_in(PRNGKey(17), frame_id))`` the scan body used to
+    derive serially; hoisting the two threefry calls out of the scan takes
+    them off the per-frame critical path."""
+    base = jax.random.PRNGKey(17)
+    return jax.vmap(lambda fid: jax.random.split(jax.random.fold_in(base, fid)))(
+        frame_ids
+    )
+
+
 @lru_cache(maxsize=8)
 def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                    orb_kwargs_tuple, stage_limit=2, batched=False):
@@ -734,7 +747,9 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             )
             obs, mean, std = extract_sequence(images_u8, depths_m, orb_kw)
             frame_ids = frame0 + jnp.arange(T, dtype=jnp.int32)
-            return jax.lax.scan(step, st0, (frame_ids, obs, mean, std))
+            return jax.lax.scan(
+                step, st0, (frame_ids, obs, mean, std, frame_keys(frame_ids))
+            )
 
         return jax.jit(run, donate_argnums=(1,))
 
@@ -756,14 +771,15 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
         obs, mean, std = jax.vmap(
             lambda g, d: extract_sequence(g, d, orb_kw, chunk=2)
         )(images_u8, depths_m)
-        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0, 0)))
+        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0, 0, None)))
         st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
         st0b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), st0)
         frame_ids = jnp.arange(T, dtype=jnp.int32)
         obs_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
         return jax.lax.scan(
             vstep, st0b,
-            (frame_ids, obs_t, mean.swapaxes(0, 1), std.swapaxes(0, 1)),
+            (frame_ids, obs_t, mean.swapaxes(0, 1), std.swapaxes(0, 1),
+             frame_keys(frame_ids)),
         )
 
     return jax.jit(run_batched)
