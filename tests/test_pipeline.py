@@ -49,3 +49,33 @@ def test_end_to_end_rgbd_slam(synth_seq, tmp_path):
     # snapshot exists and round-trips
     ms = System.load_snapshot(str(tmp_path / "out" / "map_snapshot.npz"))
     assert int(np.asarray(ms.next_kf)) >= 2
+
+
+def test_dump_overlays(synth_seq, tmp_path):
+    """--dump_overlays N writes the viewer's feature-overlay PNG for every
+    Nth frame of a run (reference viewer.cpp:106-141's per-frame panel as a
+    file sink)."""
+    cfg = SystemConfig(
+        dataset_dir=synth_seq,
+        sequence="rgbd_dataset_freiburg3_synthetic",
+        output_dir=str(tmp_path / "out"),
+        extractor="opencv",
+        max_frames=10,
+        dump_overlays=4,
+        export_ply=False,
+        metrics_jsonl=False,
+    )
+    summary = System(cfg).run()
+    assert summary["overlays"] == 3  # frames 0, 4, 8
+
+    import glob
+
+    paths = sorted(glob.glob(str(tmp_path / "out" / "overlays" / "*.png")))
+    assert len(paths) == 3
+    import cv2
+
+    img = cv2.imread(paths[0])
+    assert img is not None and img.shape == (480, 640, 3)
+    # overlay actually drew features: some pixels are pure green
+    green = (img[..., 1] == 255) & (img[..., 0] == 0) & (img[..., 2] == 0)
+    assert green.sum() > 50

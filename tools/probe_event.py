@@ -50,13 +50,8 @@ def main():
     real_ba = lba.local_ba
 
     def scan_ate(outs):
-        tracked = np.asarray(outs.tracked)
-        poses = np.asarray(outs.pose)
-        if tracked.sum() < 3:
-            return float("nan")
-        est = np.asarray([traj.tcw_to_twc(poses[i])[:3, 3]
-                          for i in range(len(tracked)) if tracked[i]])
-        return traj.ate_rmse(est, gts[tracked])
+        ate, _ = bench._ate_from_outs(outs, gts)
+        return float("nan") if ate is None else ate
 
     def timed(label, *, depth=True, tri=True, ba=True):
         stages.depth_landmarks = real_depth if depth else (
@@ -91,6 +86,10 @@ def main():
             stages.depth_landmarks = real_depth
             stages.triangulate_pair = real_tri
             sp.local_ba = real_ba
+            # the cache still holds a pipeline compiled with the no-op
+            # stages under the default options key; purge it so later
+            # run_scan_pipeline calls in this process recompile honestly
+            sp._compiled_scan.cache_clear()
 
     timed("default")
     timed("no depth_landmarks", depth=False)

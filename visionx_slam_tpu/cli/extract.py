@@ -53,9 +53,9 @@ def entrypoint(argv=None) -> int:
                 f"{bytes(desc[i]).hex()}\n"
             )
 
-    overlay = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
-    for i in np.nonzero(valid)[0]:
-        cv2.circle(overlay, (int(px[i, 0]), int(px[i, 1])), 2, (0, 255, 0), -1)
+    from ..eval.overlay import draw_feature_overlay
+
+    overlay = draw_feature_overlay(gray, np.asarray(px), np.asarray(valid))
     cv2.imwrite(args.out_prefix + ".png", overlay)
     print(f"wrote {args.out_prefix}.txt and {args.out_prefix}.png")
     return 0

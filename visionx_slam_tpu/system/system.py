@@ -365,6 +365,15 @@ class System:
         if cfg.run_global_ba:
             summary["global_ba"] = self._run_global_ba()
 
+        if cfg.dump_overlays > 0:
+            from ..eval.overlay import dump_run_overlays
+
+            paths = dump_run_overlays(
+                self, entries, cfg.dump_overlays,
+                os.path.join(cfg.output_dir, "overlays"),
+            )
+            summary["overlays"] = len(paths)
+
         snap_path = os.path.join(cfg.output_dir, "map_snapshot.npz")
         self.save_snapshot(snap_path)
         if cfg.export_ply:

@@ -177,6 +177,10 @@ class SystemConfig:
     # viewer-replacement sinks (SURVEY.md L8): landmark cloud + keyframe
     # centers as PLY next to the npz snapshot; plot via cli.plot
     export_ply: bool = True
+    # dump the viewer's per-frame feature-overlay image (viewer.cpp:106-141)
+    # for every Nth frame of the run into output_dir/overlays/ (0 = off) —
+    # the run-level debugging artifact the live GL panel provided
+    dump_overlays: int = 0
 
     tracking: TrackingOptions = field(default_factory=TrackingOptions)
 
