@@ -70,6 +70,38 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return d.astype(jnp.bfloat16)
 
 
+def unpack_with_pop(desc_u8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(bit planes int8 [..., 256], popcounts f32 [...]) of descriptors.
+
+    The scan pipeline precomputes these OUTSIDE its serial loop (for all
+    frames batched) and carries the active keyframe's copy, so the
+    per-frame matcher starts at the GEMM instead of re-unpacking both
+    sides every frame."""
+    bits = unpack_bits(desc_u8).astype(jnp.int8)
+    pop = jnp.sum(bits, axis=-1, dtype=jnp.int32).astype(jnp.float32)
+    return bits, pop
+
+
+def knn2_from_bits(
+    bits_a: jnp.ndarray,
+    pop_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    bits_b: jnp.ndarray,
+    pop_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    nn_ratio: float = NN_RATIO,
+) -> MatchResult:
+    """``knn2_ratio_match`` on pre-unpacked bit planes (bit-identical —
+    the unpack/popcount hoist is pure refactoring)."""
+    dot = jax.lax.dot_general(
+        bits_a, bits_b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+    )
+    d = pop_a[:, None] + pop_b[None, :] - 2.0 * dot.astype(jnp.float32)
+    D = d.astype(jnp.bfloat16)
+    return _knn2_select(D, valid_a, valid_b, nn_ratio)
+
+
 @partial(jax.jit, static_argnames=("nn_ratio",))
 def knn2_ratio_match(
     desc_a: jnp.ndarray,
@@ -84,6 +116,16 @@ def knn2_ratio_match(
     the second-best distance. Rows/cols with invalid descriptors are masked.
     """
     D = hamming_matrix(desc_a, desc_b)          # bf16, integer-exact
+    return _knn2_select(D, valid_a, valid_b, nn_ratio)
+
+
+def _knn2_select(
+    D: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    nn_ratio: float,
+) -> MatchResult:
+    """Top-2 + ratio selection over a bf16 distance matrix."""
     D = jnp.where(valid_b[None, :], D, jnp.bfloat16(BIG))
 
     idx1 = jnp.argmin(D, axis=1)

@@ -71,6 +71,20 @@ class ScanState(NamedTuple):
     last_kf_id: jnp.ndarray
     last_inliers: jnp.ndarray
     last_parallax: jnp.ndarray
+    # ---- reference-keyframe caches (pure derived data, refreshed at the
+    # map-mutation points: init accept / keyframe event / reset). The
+    # steady-state frame chain is latency-bound small ops, so everything
+    # that depends only on (map, last_kf_slot) is hoisted out of it:
+    # descriptor bit planes + popcounts (the matcher starts at the GEMM),
+    # the landmark-linked 3D points with their validity gates
+    # (pnp_correspondences reduced to a mask-AND), and the keyframe's
+    # pixels (parallax). Bit-identical to re-deriving per frame. ----
+    kf_bits: jnp.ndarray       # [N,256] int8 keyframe descriptor bit planes
+    kf_pop: jnp.ndarray        # [N] f32 keyframe descriptor popcounts
+    kf_fvalid: jnp.ndarray     # [N] bool keyframe feature validity
+    kf_lm_pts: jnp.ndarray     # [N,3] f32 landmark position per feature
+    kf_lm_valid: jnp.ndarray   # [N] bool feature has a live, sane landmark
+    kf_px2: jnp.ndarray        # [N,2] f32 keyframe feature pixels
 
 
 class FrameOut(NamedTuple):
@@ -121,6 +135,43 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _kf_cache_fields(ms: MapState, slot: jnp.ndarray) -> dict:
+    """Derive the reference-keyframe carry caches from the map (see
+    ScanState): descriptor bit planes/popcounts, per-feature landmark
+    points with the pnp_correspondences validity gates
+    (tracking.cpp:364-407: has_landmark, alive, finite, |p| <= 1000), and
+    the keyframe pixels."""
+    bits, pop = matching.unpack_with_pop(ms.kf_desc[slot])
+    feat_lm = ms.kf_feat_lm[slot]
+    has = feat_lm >= 0
+    lmc = jnp.clip(feat_lm, 0, ms.lm_physical - 1)
+    p = ms.lm_pos[:, lmc].T
+    lm_valid = (
+        has & ms.lm_alive[lmc]
+        & jnp.all(jnp.isfinite(p), axis=-1)
+        & jnp.all(jnp.abs(p) <= 1000.0, axis=-1)
+    )
+    return dict(
+        kf_bits=bits,
+        kf_pop=pop,
+        kf_fvalid=ms.kf_fvalid[slot],
+        kf_lm_pts=jnp.where(lm_valid[:, None], p, 0.0),
+        kf_lm_valid=lm_valid,
+        kf_px2=ms.kf_px[slot].T,
+    )
+
+
+def _empty_kf_cache(n: int) -> dict:
+    return dict(
+        kf_bits=jnp.zeros((n, 256), jnp.int8),
+        kf_pop=jnp.zeros((n,), jnp.float32),
+        kf_fvalid=jnp.zeros((n,), bool),
+        kf_lm_pts=jnp.zeros((n, 3), jnp.float32),
+        kf_lm_valid=jnp.zeros((n,), bool),
+        kf_px2=jnp.zeros((n, 2), jnp.float32),
+    )
+
+
 def build_scan_step(
     cam: CameraParams,
     opts: TrackingOptions,
@@ -163,7 +214,7 @@ def build_scan_step(
         return Pose(matrix_to_quat(R), t)
 
     # ------------------------------------------------------------------
-    def track_branch(st: ScanState, obs, frame_id, k1, k2):
+    def track_branch(st: ScanState, obs, bits, pop, frame_id, k1, k2):
         """TRACKING_GOOD: PnP vs last keyframe; essential fallback entered
         only when PnP fails (tracking.cpp:267-330).
 
@@ -172,15 +223,22 @@ def build_scan_step(
         exactly this (keyframe, current) pair, and the reference's
         TriangulateWithLastKeyFrame re-matches WITHOUT the min-dist filter
         (tracking.cpp:856-874) — so the raw match is reusable as-is and
-        the event saves a full Hamming GEMM."""
-        slot = jnp.maximum(st.last_kf_slot, 0)
+        the event saves a full Hamming GEMM.
 
-        m_raw = matching.knn2_ratio_match(
-            st.ms.kf_desc[slot], st.ms.kf_fvalid[slot], obs.desc, obs.valid
+        The keyframe side comes entirely from the ScanState caches
+        (bit planes, landmark table gathers, pixels) and the current
+        frame's bit planes from the batched pre-extraction — the serial
+        chain starts at the Hamming GEMM and the correspondence step is a
+        mask-AND (pnp_correspondences semantics, tracking.cpp:364-407,
+        precomputed at the last map mutation)."""
+        m_raw = matching.knn2_from_bits(
+            st.kf_bits, st.kf_pop, st.kf_fvalid, bits, pop, obs.valid
         )
         m = matching.reference_distance_filter(m_raw)
         n_matches = jnp.sum(m.valid).astype(jnp.int32)
-        pts3d, pts2d, pvalid = stages.pnp_correspondences(st.ms, slot, obs, m)
+        pts3d = st.kf_lm_pts
+        pts2d = obs.px[m.idx]
+        pvalid = m.valid & st.kf_lm_valid
         n_pairs = jnp.sum(pvalid).astype(jnp.int32)
         depth_curr = obs.depth[m.idx] if opts.pnp_use_depth else None
 
@@ -233,7 +291,7 @@ def build_scan_step(
         )
 
         def pnp_result(_):
-            par = stages.parallax_px(st.ms.kf_px[slot].T, obs.px, m)
+            par = stages.parallax_px(st.kf_px2, obs.px, m)
             return sol.pose, sol.n_inliers, par, n_matches, jnp.asarray(True)
 
         def fallback(_):
@@ -390,6 +448,7 @@ def build_scan_step(
                 last_pose=pose2,
                 last_inliers=inliers,
                 last_parallax=parallax,
+                **_kf_cache_fields(ms, slot2),
             )
 
         st = jax.lax.cond(ok, accept, lambda s: s, st)
@@ -478,6 +537,10 @@ def build_scan_step(
             last_kf_slot=slot.astype(jnp.int32),
             last_kf_id=frame_id.astype(jnp.int32),
             cur_pose=new_pose,
+            # refresh the reference-keyframe caches AFTER culling + BA so
+            # they reflect the landmark positions/links the next frames
+            # will PnP against
+            **_kf_cache_fields(ms, slot),
         )
 
     # ------------------------------------------------------------------
@@ -490,7 +553,7 @@ def build_scan_step(
         identical to the reference's in-loop extract (tracking.cpp:42),
         but the scan body now starts at the matcher, which roughly halves
         the serial per-frame critical path."""
-        frame_id, obs, gray_mean, gray_std, k12 = inp
+        frame_id, obs, bits, pop, gray_mean, gray_std, k12 = inp
         # per-frame keys are precomputed OUTSIDE the scan (frame_keys):
         # bit-identical to fold_in+split here, but the two threefry
         # derivations leave the serial per-frame chain
@@ -510,7 +573,7 @@ def build_scan_step(
             return st, out
         if stage_limit == 1:  # profiling: extraction + tracking compute
             st2, n_matches, inliers, parallax, ok, _ = track_branch(
-                st, obs, frame_id, k1, k2
+                st, obs, bits, pop, frame_id, k1, k2
             )
             out = FrameOut(
                 pose=se3_matrix(st2.cur_pose), tracked=ok, state=st.tstate,
@@ -519,6 +582,36 @@ def build_scan_step(
                 n_keyframes=jnp.int32(0), n_landmarks=jnp.int32(0),
             )
             return st._replace(cur_pose=st2.cur_pose), out
+        if stage_limit in (3, 4):  # profiling: fixed op-graph sub-chains
+            # 3 = extraction + matcher; 4 = + prior-tier PnP. No conds, no
+            # state machine: the map stays empty, so the CONTENT is
+            # meaningless, but the op graph per frame is exactly the
+            # steady-state chain's — this isolates its serial cost without
+            # the empty-map escalation pollution of stage_limit=1.
+            m_raw = matching.knn2_from_bits(
+                st.kf_bits, st.kf_pop, st.kf_fvalid, bits, pop, obs.valid
+            )
+            m = matching.reference_distance_filter(m_raw)
+            n_matches = jnp.sum(m.valid).astype(jnp.int32)
+            inliers = jnp.int32(0)
+            st2 = st
+            if stage_limit == 4:
+                sol = pnp_prior(
+                    cam, st.kf_lm_pts, obs.px[m.idx],
+                    m.valid & st.kf_lm_valid, st.cur_pose,
+                    opts.max_reproj_error,
+                    refine_iters=min(2, opts.pnp_refine_iters),
+                )
+                inliers = sol.n_inliers
+                st2 = st._replace(cur_pose=_select(
+                    sol.ok, sol.pose, st.cur_pose))
+            out = FrameOut(
+                pose=se3_matrix(st2.cur_pose), tracked=jnp.any(fvalid),
+                state=st.tstate, n_matches=n_matches, n_inliers=inliers,
+                parallax=jnp.float32(0), is_keyframe=jnp.asarray(False),
+                n_keyframes=jnp.int32(0), n_landmarks=jnp.int32(0),
+            )
+            return st2, out
 
         def do_init(st):
             return jax.lax.cond(
@@ -530,7 +623,7 @@ def build_scan_step(
 
         def do_good(st):
             st2, n_matches, inliers, parallax, ok, m_raw = track_branch(
-                st, obs, frame_id, k1, k2
+                st, obs, bits, pop, frame_id, k1, k2
             )
             # HandleTrackingFailure (tracking.cpp:467-475): GOOD -> BAD
             st2 = st2._replace(
@@ -549,6 +642,7 @@ def build_scan_step(
                 last_kf_id=jnp.int32(-1),
                 last_inliers=jnp.int32(0),
                 last_parallax=jnp.float32(0),
+                **_empty_kf_cache(n_features_cap),
             )
             return (st2, jnp.int32(0), jnp.int32(0), jnp.float32(0),
                     jnp.asarray(False), _empty_match(n_features_cap))
@@ -629,6 +723,7 @@ def initial_state(n_features_cap=1024, kf_capacity=64, lm_capacity=1 << 17) -> S
         last_kf_id=jnp.int32(-1),
         last_inliers=jnp.int32(0),
         last_parallax=jnp.float32(0),
+        **_empty_kf_cache(n_features_cap),
     )
 
 
@@ -659,6 +754,11 @@ def resume_state(ms: MapState) -> ScanState:
         depth=ms.kf_depth[slot],
     )
     st = initial_state(n, ms.kf_capacity, ms.lm_capacity)
+    cache = jax.tree.map(
+        lambda live, empty: jnp.where(
+            have.reshape((1,) * live.ndim), live, empty),
+        _kf_cache_fields(ms, slot), _empty_kf_cache(n),
+    )
     return st._replace(
         ms=ms,
         tstate=jnp.where(have, jnp.int32(GOOD), jnp.int32(INIT)),
@@ -671,6 +771,7 @@ def resume_state(ms: MapState) -> ScanState:
         init_kf_slot=jnp.where(have, init_slot, jnp.int32(-1)),
         last_kf_slot=jnp.where(have, slot, jnp.int32(-1)),
         last_kf_id=jnp.where(have, ids[slot], jnp.int32(-1)).astype(jnp.int32),
+        **cache,
     )
 
 
@@ -703,16 +804,20 @@ def extract_sequence(images_u8, depths_m, orb_kwargs, chunk: int = 8):
         # std via moments (vmapped jnp.std materializes a centered copy)
         std = jnp.sqrt(jnp.maximum(
             jnp.mean(gf * gf, axis=(1, 2)) - mean * mean, 0.0))
-        return px, resp, desc, valid, dfeat, mean, std
+        # descriptor bit planes + popcounts, batched here so the scan's
+        # serial matcher starts at the GEMM (see ScanState caches)
+        bits, pop = matching.unpack_with_pop(desc)
+        return px, resp, desc, valid, dfeat, mean, std, bits, pop
 
-    px, resp, desc, valid, dfeat, mean, std = jax.lax.map(one, (gi, di))
+    px, resp, desc, valid, dfeat, mean, std, bits, pop = jax.lax.map(
+        one, (gi, di))
 
     def unc(x):
         return x.reshape((Tc,) + x.shape[2:])[:T]
 
     obs = FrameObs(px=unc(px), response=unc(resp), desc=unc(desc),
                    valid=unc(valid), depth=unc(dfeat))
-    return obs, unc(mean), unc(std)
+    return obs, unc(mean), unc(std), unc(bits), unc(pop)
 
 
 
@@ -745,10 +850,12 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
                 orb_kwargs=orb_kw,
                 stage_limit=stage_limit,
             )
-            obs, mean, std = extract_sequence(images_u8, depths_m, orb_kw)
+            obs, mean, std, bits, pop = extract_sequence(
+                images_u8, depths_m, orb_kw)
             frame_ids = frame0 + jnp.arange(T, dtype=jnp.int32)
             return jax.lax.scan(
-                step, st0, (frame_ids, obs, mean, std, frame_keys(frame_ids))
+                step, st0,
+                (frame_ids, obs, bits, pop, mean, std, frame_keys(frame_ids)),
             )
 
         return jax.jit(run, donate_argnums=(1,))
@@ -768,17 +875,18 @@ def _compiled_scan(opts_key, img_wh, n_features_cap, kf_capacity, lm_capacity,
             stage_limit=stage_limit,
             batched=True,
         )
-        obs, mean, std = jax.vmap(
+        obs, mean, std, bits, pop = jax.vmap(
             lambda g, d: extract_sequence(g, d, orb_kw, chunk=2)
         )(images_u8, depths_m)
-        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0, 0, None)))
+        vstep = jax.vmap(step, in_axes=(0, (None, 0, 0, 0, 0, 0, None)))
         st0 = initial_state(n_features_cap, kf_capacity, lm_capacity)
         st0b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), st0)
         frame_ids = jnp.arange(T, dtype=jnp.int32)
         obs_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
         return jax.lax.scan(
             vstep, st0b,
-            (frame_ids, obs_t, mean.swapaxes(0, 1), std.swapaxes(0, 1),
+            (frame_ids, obs_t, bits.swapaxes(0, 1), pop.swapaxes(0, 1),
+             mean.swapaxes(0, 1), std.swapaxes(0, 1),
              frame_keys(frame_ids)),
         )
 
