@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.camera import CameraParams
-from ..ops.linalg import solve6x6_spd
+from ..ops.linalg import chol_solve6x6, solve6x6_spd
 from ..ops.se3 import (
     Pose,
     matrix_to_quat,
@@ -105,7 +105,7 @@ def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
         # wide-baseline geometry). Points at infinity degrade gracefully:
         # near-singular M3 blows X0 up and the normalized start [X0;1] is
         # the null direction itself.
-        from ..ops.linalg import solve3x3, solve4x4
+        from ..ops.linalg import chol_solve4x4, solve3x3
 
         X0 = solve3x3(M[..., :3, :3], -M[..., :3, 3])
         X0 = jnp.where(jnp.isfinite(X0), X0, 0.0)
@@ -116,8 +116,12 @@ def _smallest_eigvec(M: jnp.ndarray) -> jnp.ndarray:
         tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2] + M[..., 3, 3]
         shift = 1e-7 * jnp.maximum(tr, 1e-20)
         Ms = M + shift[..., None, None] * jnp.eye(4, dtype=M.dtype)
+        # M is PSD (A^T A) and shifted -> SPD: the unrolled scalar Cholesky
+        # fuses into one kernel where the 2x2-block-Schur solve4x4 lowered
+        # its tiny matmuls to separate kernels (this runs on the online
+        # scan's keyframe-event path)
         for _ in range(2):
-            v0 = solve4x4(Ms, v0)
+            v0 = chol_solve4x4(Ms, v0)
             v0 = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=-1, keepdims=True), 1e-30)
         return v0
     w, v = jnp.linalg.eigh(M)
@@ -655,41 +659,47 @@ def _pose_gn_refine(
     """
 
     def step(pose, _):
+        # This chain runs SERIALLY once per frame on the online scan, so
+        # it is written for minimum fused-kernel count, not elegance: the
+        # pose Jacobian's 12 entries are explicit column formulas (the
+        # closed form of J_proj(pc) @ [I | -hat(pc)], local_ba.cpp:15-33),
+        # the 6x6 normal equations AND the rhs come from ONE augmented
+        # [7,2N]x[2N,7] MXU contraction (G = [J | err] rows), and the
+        # solve is the fully-unrolled scalar Cholesky (ops/linalg.py).
         pc = se3_apply(pose, X)
+        x, y = pc[..., 0], pc[..., 1]
         z = jnp.maximum(pc[..., 2], 1e-6)
-        inv_z = 1.0 / z
-        u = cam.fx * pc[..., 0] * inv_z + cam.cx
-        v = cam.fy * pc[..., 1] * inv_z + cam.cy
-        err = px - jnp.stack([u, v], -1)  # [N,2]
+        iz = 1.0 / z
+        xiz, yiz = x * iz, y * iz
+        u_err = px[..., 0] - (cam.fx * xiz + cam.cx)
+        v_err = px[..., 1] - (cam.fy * yiz + cam.cy)
         ww = w * (pc[..., 2] > 1e-6)
         if robust:
-            en = jnp.linalg.norm(err, axis=-1)
+            en = jnp.sqrt(u_err * u_err + v_err * v_err)
             ww = ww * jnp.where(en <= huber_delta, 1.0,
                                 huber_delta / jnp.maximum(en, 1e-9))
             ww = ww * (en <= gate_px)
 
-        # J_proj [N,2,3]
-        zeros = jnp.zeros_like(inv_z)
-        Jp = jnp.stack(
-            [
-                jnp.stack([cam.fx * inv_z, zeros, -cam.fx * pc[..., 0] * inv_z**2], -1),
-                jnp.stack([zeros, cam.fy * inv_z, -cam.fy * pc[..., 1] * inv_z**2], -1),
-            ],
-            -2,
-        )
-        # full pose Jacobian [N,2,6]: rotational block row_i = pc x Jp_i
-        # (identical to Jp @ [I | -hat(pc)] without materializing the
-        # [N,3,6] tangent matrix — those tiny matmuls lower to slow VPU
-        # loop fusions on TPU)
-        J = jnp.concatenate([Jp, jnp.cross(pc[..., None, :], Jp)], -1)
-        # flattened normal equations: ONE [6,2N]x[2N,6] contraction (MXU)
-        Jf = J.reshape(-1, 6)                       # [2N,6]
-        wf = jnp.repeat(ww, 2, axis=-1)             # weight per residual row
-        rf = err.reshape(-1)
-        Jw = Jf * wf[:, None]
-        H = Jw.T @ Jf + 1e-6 * jnp.eye(6, dtype=pc.dtype)
-        b = Jw.T @ rf
-        dx = solve6x6_spd(H, b)  # closed form: batched LU serializes
+        # row u: fx * [iz, 0, -x iz^2, -x y iz^2, 1 + x^2 iz^2, -y iz]
+        # row v: fy * [0, iz, -y iz^2, -(1 + y^2 iz^2), x y iz^2, x iz]
+        xyiz2 = xiz * yiz
+        zero = jnp.zeros_like(iz)
+        Gu = jnp.stack(
+            [cam.fx * iz, zero, -cam.fx * xiz * iz,
+             -cam.fx * xyiz2, cam.fx * (1.0 + xiz * xiz), -cam.fx * yiz,
+             u_err], -1)                             # [N,7]
+        Gv = jnp.stack(
+            [zero, cam.fy * iz, -cam.fy * yiz * iz,
+             -cam.fy * (1.0 + yiz * yiz), cam.fy * xyiz2, cam.fy * xiz,
+             v_err], -1)                             # [N,7]
+        G = jnp.concatenate([Gu, Gv], axis=0)        # [2N,7]
+        wf = jnp.concatenate([ww, ww], axis=0)
+        M = jax.lax.dot_general(
+            G * wf[:, None], G, (((0,), (0,)), ((), ()))
+        )                                            # [7,7]
+        H = M[:6, :6] + 1e-6 * jnp.eye(6, dtype=pc.dtype)
+        b = M[:6, 6]
+        dx = chol_solve6x6(H, b)   # one fused scalar kernel (ops/linalg.py)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         return se3_compose(se3_exp(dx), pose), None
 

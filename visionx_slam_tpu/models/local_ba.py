@@ -198,7 +198,12 @@ def local_ba(ms: MapState, cam: CameraParams, opts: BAOptions = BAOptions()) -> 
         Jw = Jf * wf[..., None]
         H = jnp.einsum("wni,wnj->wij", Jw, Jf) + 1e-6 * jnp.eye(6, dtype=pc.dtype)
         b = jnp.einsum("wni,wn->wi", Jw, rf)
-        dx = jnp.linalg.solve(H, b[..., None])[..., 0]  # [W,6]
+        from ..ops.linalg import chol_solve6x6
+
+        # damped SPD: unrolled scalar Cholesky fuses into one kernel —
+        # jnp.linalg.solve lowers a [W,6,6] batch to LU loops on TPU, and
+        # this solve sits on the scan's keyframe-event path
+        dx = chol_solve6x6(H, b)  # [W,6]
 
         pose_obs = jnp.sum(obs, axis=1)
         apply_pose = (

@@ -87,6 +87,38 @@ def solve4x4(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([y1, y2], axis=-1)
 
 
+def chol_solve4x4(A: jnp.ndarray, b: jnp.ndarray,
+                  eps: float = 1e-30) -> jnp.ndarray:
+    """Solve SPD [..., 4, 4] x [..., 4] via fully UNROLLED scalar Cholesky
+    (same rationale as ``chol_solve6x6``: the block-Schur ``solve4x4``
+    contains [...,2,2] matmuls that lower to separate tiny dot kernels;
+    this form is one fused elementwise kernel)."""
+    a = [[A[..., i, j] for j in range(4)] for i in range(4)]
+    L = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(i + 1):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 4
+    for i in range(4):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 4
+    for i in reversed(range(4)):
+        s = y[i]
+        for k in range(i + 1, 4):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def chol3x3(A: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     """Batched lower-Cholesky of SPD [..., 3, 3] in closed form."""
     a00 = jnp.sqrt(jnp.maximum(A[..., 0, 0], eps))
@@ -104,6 +136,45 @@ def chol3x3(A: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
         ],
         -2,
     )
+
+
+def chol_solve6x6(A: jnp.ndarray, b: jnp.ndarray,
+                  eps: float = 1e-12) -> jnp.ndarray:
+    """Solve SPD [..., 6, 6] x [..., 6] via a fully UNROLLED scalar
+    Cholesky + two triangular substitutions.
+
+    Rationale vs ``solve6x6_spd`` (block-Schur): the Schur form contains
+    3x3 matrix products that lower to separate tiny dot kernels — on the
+    online scan's serial per-frame chain each kernel costs ~µs of fixed
+    latency, and the solve runs once per GN iteration. This form is pure
+    scalar elementwise arithmetic (slices, *, /, sqrt), which XLA fuses
+    into a single kernel. Same damped-SPD domain; float32 rounding differs
+    at epsilon level from the Schur form.
+    """
+    a = [[A[..., i, j] for j in range(6)] for i in range(6)]
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
 
 
 def solve6x6_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
