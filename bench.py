@@ -209,6 +209,25 @@ def _bench_configs(cam, opts, gd, dd, gts, runs):
             latency_ms_p99=round(float(np.percentile(lat, 99)), 3),
             latency_chunk=chunk,
         )
+        # MFU / roofline accounting (VERDICT r4 #2): XLA per-stage cost
+        # analysis x measured time; see utils/flops.py and PERF.md for
+        # the per-stage roofline table (tools/roofline.py)
+        try:
+            from visionx_slam_tpu.utils import flops as fl
+
+            H, W = int(gd.shape[1]), int(gd.shape[2])
+            events_pf = float(np.asarray(outs.is_keyframe).mean())
+            costs = fl.scan_stage_costs(
+                cam, opts, (H, W), events_per_frame=events_pf,
+                ba_iters_avg=3.0)
+            mfu = fl.summarize(costs, 1.0 / stats["fps_median"])
+            configs["1_online_scan"]["mfu"] = round(
+                mfu.get("mfu_vs_bf16_peak", 0.0), 5)
+            configs["1_online_scan"]["roofline"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in mfu.items()}
+        except Exception as e:
+            configs["1_online_scan"]["mfu_error"] = repr(e)[:120]
     except Exception as e:  # tunnel faults must not sink the artifact
         _record_error("1_online_scan", e)
 
@@ -526,6 +545,25 @@ def main(argv=None) -> int:
                     "environment's ~3-30 MB/s tunnel transfer, see PERF.md",
         },
     }
+    # headline MFU (offline pipeline): per-stage XLA cost analysis x the
+    # measured frame time; a LOWER BOUND (loop-body trip counts for the
+    # GBA solver are not expanded — utils/flops.py docstring)
+    if not args.quick:
+        try:
+            from visionx_slam_tpu.utils import flops as fl
+
+            H, W = grays.shape[1:]
+            costs = (fl.offline_stage_costs(cam, opts, (H, W))
+                     if args.pipeline == "offline"
+                     else fl.scan_stage_costs(cam, opts, (H, W)))
+            mfu = fl.summarize(costs, 1.0 / fps)
+            result["detail"]["mfu"] = round(
+                mfu.get("mfu_vs_bf16_peak", 0.0), 5)
+            result["detail"]["roofline"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in mfu.items()}
+        except Exception as e:
+            result["detail"]["mfu_error"] = repr(e)[:120]
     if not args.quick and not args.no_configs and args.pipeline == "offline":
         result["detail"]["configs"] = _bench_configs(
             cam, opts, gd, dd, gts, runs=max(2, min(runs, 3)))

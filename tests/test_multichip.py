@@ -19,29 +19,44 @@ from visionx_slam_tpu.parallel import batch as pb
 
 
 @pytest.fixture(scope="module")
-def fleet():
-    cam = make_camera(100.0, 100.0, 32.0, 24.0)
+def fleet(tmp_path_factory):
+    """Fleet at BENCH shapes (VERDICT r4 #5): real rendered 640x480
+    frames through the real ORB extractor, N=1024 features, fr-class
+    intrinsics — not the round-3 64x48 toy scene."""
+    import os
+    import tempfile
+
+    from visionx_slam_tpu.data import synthetic
+
+    cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX,
+                      synthetic.CY)
     D = 8
-    mss, obss, fids, keys, gts = pb.make_correlated_fleet(cam, D, 64, seed=0)
-    return cam, D, mss, obss, fids, keys, gts
+    root = os.path.join(tempfile.gettempdir(), "vxs_mc_fleet")
+    seq = "rgbd_dataset_freiburg3_synthetic"
+    if not os.path.isdir(os.path.join(root, seq)):
+        synthetic.generate_sequence(root, sequence=seq, n_frames=D + 1,
+                                    seed=3)
+    mss, obss, fids, keys, gt_rel = pb.make_rendered_fleet(cam, root, D)
+    return cam, D, mss, obss, fids, keys, gt_rel
 
 
 def test_fleet_actually_tracks(fleet):
-    cam, D, mss, obss, fids, keys, gts = fleet
+    cam, D, mss, obss, fids, keys, gt_rel = fleet
     mesh = pb.make_mesh(D)
     step = pb.batched_slam_step(
         mesh, cam, n_hypotheses=16, ba_opts=BAOptions(max_iterations=2)
     )
     mss2, poses, stats = step(mss, obss, fids, keys)
     jax.block_until_ready(poses)
-    assert int(stats["total_matches"]) >= D * 32, int(stats["total_matches"])
-    assert int(stats["total_inliers"]) >= D * 16, int(stats["total_inliers"])
+    assert int(stats["total_matches"]) >= D * 200, int(stats["total_matches"])
+    assert int(stats["total_inliers"]) >= D * 100, int(stats["total_inliers"])
 
-    # every lane's recovered pose matches its ground-truth motion
+    # every lane's recovered pose matches its ground-truth motion (real
+    # extraction/matching noise: mm/sub-degree tolerance, not exact)
     poses = np.asarray(poses)  # [D,4,4] T_cw of the new frame
-    for i, (R, t) in enumerate(gts):
-        np.testing.assert_allclose(poses[i][:3, :3], R, atol=2e-3)
-        np.testing.assert_allclose(poses[i][:3, 3], t, atol=2e-3)
+    for i, T_gt in enumerate(gt_rel):
+        np.testing.assert_allclose(poses[i][:3, :3], T_gt[:3, :3], atol=5e-3)
+        np.testing.assert_allclose(poses[i][:3, 3], T_gt[:3, 3], atol=8e-3)
 
 
 def test_sharded_equals_unsharded(fleet):
@@ -95,14 +110,19 @@ def test_sharded_offline_equals_unsharded():
     )
     from visionx_slam_tpu.utils.config import TrackingOptions
 
-    root = os.path.join(tempfile.gettempdir(), "vxs_mc_seq")
+    root = os.path.join(tempfile.gettempdir(), "vxs_mc_seq40")
     seq = "rgbd_dataset_freiburg3_synthetic"
+    T = 40          # VERDICT r4 #5: >= 40 frames/lane x 8 lanes
     if not os.path.isdir(os.path.join(root, seq)):
-        synthetic.generate_sequence(root, sequence=seq, n_frames=10, seed=11)
+        # one COMPLETE trajectory loop: rolled lane starts then contain no
+        # motion discontinuity (frame T-1 -> 0 is contiguous)
+        synthetic.generate_sequence(root, sequence=seq, n_frames=T, seed=11,
+                                    frames_per_loop=T)
     ds = tum.TumDataset(root, seq)
     ds.load()
     grays = np.stack([tum.load_rgb_gray(e.rgb_path) for e in ds.entries])
     depths = np.stack([tum.load_depth_m(e.depth_path) for e in ds.entries])
+    gts = np.stack([e.gt_t for e in ds.entries])
     cam = make_camera(synthetic.FX, synthetic.FY, synthetic.CX, synthetic.CY)
     D = 8
     # 8 distinct lanes from one rendered sequence (rolled starts)
@@ -110,15 +130,29 @@ def test_sharded_offline_equals_unsharded():
     d = jnp.asarray(np.stack([np.roll(depths, b, axis=0) for b in range(D)]))
 
     opts = TrackingOptions()
-    kw = dict(kf_capacity=8, extract_chunk=2, pair_chunk=4,
+    kw = dict(kf_capacity=16, extract_chunk=4, pair_chunk=8,
               refine_iterations=1)
     mesh = pb.make_mesh(D)
     f = sharded_offline_pipeline(mesh, cam, opts, **kw)
     ms_s, out_s, fleet = f(g, d)
     jax.block_until_ready(out_s.pose)
 
-    assert int(fleet["total_tracked"]) == D * grays.shape[0]
+    assert int(fleet["total_tracked"]) == D * T
     assert int(fleet["total_keyframes"]) >= D * 2
+
+    # per-lane ATE at bench shapes: every lane's trajectory must be
+    # centimeter-accurate against its rolled ground truth
+    from visionx_slam_tpu.eval import trajectory as traj
+
+    poses_s = np.asarray(out_s.pose)
+    tracked_s = np.asarray(out_s.tracked)
+    for b in range(D):
+        sel = tracked_s[b]
+        est = np.asarray([traj.tcw_to_twc(poses_s[b, t])[:3, 3]
+                          for t in range(T) if sel[t]])
+        gt_b = np.roll(gts, b, axis=0)[sel]
+        ate = traj.ate_rmse(est, gt_b)
+        assert ate < 0.03, (b, ate)
 
     run = build_offline_pipeline(None, opts, **kw)
     ms_u, out_u = jax.jit(

@@ -93,3 +93,78 @@ def test_offline_mono_scale_consistency(mono_seq):
     # (measured spread ~3.6 at introduction; a random-walk chain without
     # the shared-feature ratio correction measures >> 10)
     assert spread < 6.0, (spread, ratios)
+
+
+@pytest.fixture(scope="module")
+def looped_seq(tmp_path_factory):
+    """A sequence covering TWO full trajectory loops (stride 2 over 96
+    rendered frames): place recognition finds genuine revisits here."""
+    root = str(tmp_path_factory.mktemp("mono_loop"))
+    synthetic.generate_sequence(root, n_frames=96, seed=13,
+                                frames_per_loop=48)
+    ds = tum.TumDataset(root, "rgbd_dataset_freiburg3_synthetic")
+    assert ds.load()
+    grays = np.stack([tum.load_rgb_gray(e.rgb_path)
+                      for e in ds.entries])[::2]
+    gt = np.asarray([e.gt_t for e in ds.entries])[::2]
+    cam = make_camera(ds.intrinsics.fx, ds.intrinsics.fy,
+                      ds.intrinsics.cx, ds.intrinsics.cy)
+    return grays, gt, cam
+
+
+MONO_KW = dict(kf_capacity=16, mono_pair_hypotheses=64, mono_lo_starts=2,
+               mono_sample_bias=64.0, mono_score_top_k=32)
+
+
+def _ate(outs, gt):
+    tracked = np.asarray(outs.tracked)
+    poses = np.asarray(outs.pose)
+    est = np.asarray([traj.tcw_to_twc(poses[i])[:3, 3]
+                      for i in range(len(tracked)) if tracked[i]])
+    return traj.ate_rmse(est, gt[tracked], with_scale=True)
+
+
+def test_mono_loop_closure_fires_and_helps(looped_seq):
+    """On a revisiting trajectory the default-on loop closure (scale-
+    drift redistribution, _scale_loop_correction) must actually engage
+    (results differ from mono_loop_pairs=0) and must not hurt the
+    similarity-aligned ATE (VERDICT r4 #3)."""
+    grays, gt, cam = looped_seq
+    depths = np.zeros(grays.shape, np.float32)
+    opts = TrackingOptions()
+    _, o_on = run_offline_pipeline(cam, grays, depths, opts,
+                                   monocular=True, **MONO_KW)
+    _, o_off = run_offline_pipeline(cam, grays, depths, opts,
+                                    monocular=True, mono_loop_pairs=0,
+                                    **MONO_KW)
+    ate_on, ate_off = _ate(o_on, gt), _ate(o_off, gt)
+    # engaged: the verified revisit's scale correction changes the chain
+    assert not np.allclose(np.asarray(o_on.pose), np.asarray(o_off.pose))
+    # and does not regress accuracy (usually improves; bound leaves noise room)
+    assert ate_on <= ate_off * 1.10 + 5e-3, (ate_on, ate_off)
+    assert np.asarray(o_on.tracked).mean() >= 0.95
+
+
+def test_mono_folded_loop_closure_matches_single(looped_seq):
+    """Folded-lane mono WITH loop closure must reproduce each lane's
+    single-lane result (lane-gated candidates, per-lane budgets, and
+    within-lane-slot RANSAC keys make the pass lane-deterministic)."""
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        run_offline_pipeline_batched,
+    )
+
+    grays, gt, cam = looped_seq
+    depths = np.zeros(grays.shape, np.float32)
+    opts = TrackingOptions()
+    _, o1 = run_offline_pipeline(cam, grays, depths, opts,
+                                 monocular=True, **MONO_KW)
+    g2 = np.stack([grays, grays[::-1].copy()])
+    d2 = np.zeros(g2.shape, np.float32)
+    _, ob = run_offline_pipeline_batched(cam, g2, d2, opts,
+                                         monocular=True, **MONO_KW)
+    np.testing.assert_allclose(
+        np.asarray(ob.pose)[0], np.asarray(o1.pose), rtol=0, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ob.tracked)[0], np.asarray(o1.tracked)
+    )

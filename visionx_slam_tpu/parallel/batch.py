@@ -178,6 +178,71 @@ def stack_obs(obs: list[FrameObs]) -> FrameObs:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *obs)
 
 
+def make_rendered_fleet(
+    cam: CameraParams, dataset_root: str, n_seq: int,
+    n_features: int = 1024, kf_capacity: int = 8,
+    lm_capacity: int = 1 << 14,
+    sequence: str = "rgbd_dataset_freiburg3_synthetic",
+):
+    """Fleet built from REAL rendered 640x480 frames through the real
+    extractor (VERDICT r4 #5: correctness at bench shapes, not the 64x48
+    toy scene): lane b's keyframe is frame b (depth-backprojected
+    landmarks from its ORB features), its observation frame b+1. Returns
+    (states, obs, frame_ids, keys, gt_rel) where ``gt_rel`` is the list
+    of ground-truth [4,4] relative camera transforms T_{c1<-c0} each
+    lane's PnP must recover."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from ..data import tum
+    from ..models.orb_jax import orb_extract
+    from ..ops.se3 import identity_pose
+
+    ds = tum.TumDataset(dataset_root, sequence)
+    assert ds.load()
+    entries = ds.entries[: n_seq + 1]
+    assert len(entries) == n_seq + 1, "dataset too short for fleet"
+
+    ext = jax.jit(partial(orb_extract, n_slots=n_features))
+    feats, depths = [], []
+    for e in entries:
+        gray = tum.load_rgb_gray(e.rgb_path)
+        d_img = tum.load_depth_m(e.depth_path)
+        px, resp, desc, valid = ext(gray)
+        d = stages.sample_depth_image(jnp.asarray(d_img), px, valid)
+        feats.append((px, resp, desc, valid))
+        depths.append(d)
+
+    def w_mat(e):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_quat(e.gt_q).as_matrix()
+        T[:3, 3] = e.gt_t
+        return T                       # T_wc (camera-to-world, TUM GT)
+
+    states, obss, gt_rel = [], [], []
+    for b in range(n_seq):
+        px, resp, desc, valid = feats[b]
+        ms = msl.empty_map(kf_capacity=kf_capacity,
+                           lm_capacity=lm_capacity,
+                           n_features=n_features)
+        ms, slot = msl.insert_keyframe(
+            ms, jnp.asarray(0), identity_pose(), px, desc, valid,
+            jnp.full((n_features,), FREE, jnp.int32), depths[b],
+        )
+        ms = stages.depth_landmarks(ms, cam, slot, identity_pose())
+        px1, resp1, desc1, valid1 = feats[b + 1]
+        obss.append(FrameObs(px=px1, response=resp1, desc=desc1,
+                             valid=valid1, depth=depths[b + 1]))
+        states.append(ms)
+        # world = lane keyframe's camera frame: T_cw of the obs frame is
+        # the GT relative transform c_{b+1} <- c_b
+        gt_rel.append(np.linalg.inv(w_mat(entries[b + 1])) @ w_mat(entries[b]))
+
+    fids = jnp.ones((n_seq,), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_seq)
+    return stack_states(states), stack_obs(obss), fids, keys, gt_rel
+
+
 def make_correlated_fleet(
     cam: CameraParams, n_seq: int, n_features: int = 64, seed: int = 0,
     kf_capacity: int = 8, lm_capacity: int = 256,

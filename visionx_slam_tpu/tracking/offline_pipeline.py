@@ -200,16 +200,26 @@ def build_offline_pipeline(
                                     # sets drawn ∝ exp(-dist/bias) (see
                                     # estimation.sample_minimal_sets)
     mono_link_strides: tuple[int, ...] = (1, 2),
-    mono_loop_pairs: int = 0,       # loop-closure budget (0 = off); see
-                                    # _close_loops. Single-lane mono only:
-                                    # folded-lane parity would need a
-                                    # per-lane greedy pass. Off by default:
-                                    # on loop-free scenes the pass is
-                                    # measured ATE-neutral-to-noise (204 ->
-                                    # 208 mm at T=30) for nonzero cost;
-                                    # enable when the trajectory revisits
-                                    # (see tests/test_offline_mono.py loop
-                                    # test for the win case).
+    mono_loop_pairs: int = 12,      # loop-closure detection budget PER
+                                    # LANE (0 = disables BOTH closure
+                                    # mechanisms). ON by default (r5,
+                                    # VERDICT #3): verified revisits
+                                    # drive the scale-drift
+                                    # redistribution
+                                    # (_scale_loop_correction); the
+                                    # verification gates make it a no-op
+                                    # on loop-free scenes.
+    mono_loop_merge: bool = False,  # ALSO merge revisited landmarks and
+                                    # run the wide two-phase BA
+                                    # (_close_loops). OFF by default:
+                                    # measured to DEGRADE the solution on
+                                    # revisiting trajectories (0.27 ->
+                                    # 0.39 m scale-aligned — the chain's
+                                    # dense observations resist the loop
+                                    # links and BA settles on a bent
+                                    # compromise); kept for maps where
+                                    # cross-visit landmark identity
+                                    # matters more than trajectory ATE.
     mono_loop_min_gap: int = 12,    # min frame separation of a loop pair
     mono_loop_min_inliers: int = 40,
     mono_gba_iterations: int = 10,  # GN budget of the WIDE first BA phase
@@ -365,13 +375,25 @@ def build_offline_pipeline(
             X = triangulate_dlt(P1, P2, x1, x2)       # [N,3] query camera
             zq_tri = X[:, 2]
             zn_tri = (X @ sol.R.T + sol.t[None, :])[:, 2]
-            # cheirality + the reference's 50-unit far gate
-            zgood = (
+            # cheirality + a RELATIVE far gate. The depths here are in
+            # UNIT-BASELINE scale: an absolute cut (the reference's
+            # 50-unit far gate, applied to its metric init) guillotines
+            # perfectly good points whenever the inter-frame baseline is
+            # small relative to scene depth — at the stride-4 bench
+            # shape (60 mm steps, 2-3 m scene) the scene itself sits at
+            # z ~ 33-50 baseline-units and the absolute gate left a
+            # median of 34 valid depths/frame, starving the keyframe
+            # maps mono PnP tracks against. Gating at 10x the robust
+            # median keeps the scene and still drops near-infinity junk.
+            zgood0 = (
                 m.valid & sol.inlier_mask
                 & (zq_tri > 1e-3) & (zn_tri > 1e-3)
-                & (zq_tri < 50.0) & (zn_tri < 50.0)
                 & jnp.all(jnp.isfinite(X), axis=-1)
             )
+            zmed = jnp.nan_to_num(
+                jnp.nanmedian(jnp.where(zgood0, zq_tri, jnp.nan)), nan=1.0)
+            zcap = 10.0 * jnp.maximum(zmed, 1e-3)
+            zgood = zgood0 & (zq_tri < zcap) & (zn_tri < zcap)
             q = matrix_to_quat(sol.R)
             ok_i = sol.ok & (sol.n_inliers >= opts.min_inliers)
             n_m = jnp.sum(m.valid).astype(jnp.int32)
@@ -432,6 +454,28 @@ def build_offline_pipeline(
             dfeat = jnp.concatenate(
                 [zq_u * s[:, None], jnp.zeros((1, N), jnp.float32)]
             )
+            if mono_loop_pairs > 0:
+                # scale-drift redistribution on the chain itself (see
+                # _scale_loop_correction): a verified revisit pair's
+                # depth-ratio measures the accumulated drift, removed at
+                # constant rate BEFORE the map is built. The rotation
+                # gate needs only the rotation-only VO prefix, which is
+                # scale-independent and cheap to compose here.
+                rq_m = jnp.where((ok & ~pair_xlane)[:, None], rq,
+                                 identity_pose().q[None])
+                rot_pre = _segmented_compose_scan(
+                    rq_m, jnp.zeros((T - 1, 3), jnp.float32), pair_xlane
+                ).q
+                frame_q = jnp.concatenate(
+                    [identity_pose().q[None], rot_pre])
+                factor, _ = _scale_loop_correction(
+                    cam, opts, desc, valid, px, dfeat, frame_q, B_lanes,
+                    min_gap=mono_loop_min_gap,
+                    min_inliers=mono_loop_min_inliers,
+                    key=jax.random.PRNGKey(59),
+                )
+                rt = rt * factor[:-1, None]
+                dfeat = dfeat * factor[:, None]
         else:
             rq, rt, n_inl, ok, n_matches, parallax = _chunked_vmap(
                 pair_track, pair_chunk,
@@ -445,9 +489,32 @@ def build_offline_pipeline(
         n_matches = jnp.where(pair_xlane, 0, n_matches)
         parallax = jnp.where(pair_xlane, 0.0, parallax)
         ident = identity_pose()
+        if monocular:
+            # constant-velocity fallback (VERDICT r4 #3): a failed pair
+            # freezing at IDENTITY breaks the VO chain by the missing
+            # motion, which then poisons every downstream pose of the
+            # segment and starves the re-track PnP of a usable init. A
+            # failed pair instead inherits its PREDECESSOR's relative pose
+            # (already in world scale — rt is post-scale-chain here); the
+            # frame still reports untracked unless the re-track stage
+            # verifies it against the keyframe map. Lane starts keep
+            # identity (no predecessor within the lane).
+            prev_ok = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+            prev_in_lane = jnp.concatenate(
+                [jnp.zeros((1,), bool), ~pair_xlane[:-1]])
+            use_prev = ~ok & prev_ok & prev_in_lane & ~pair_xlane
+            rq = jnp.where(
+                use_prev[:, None],
+                jnp.concatenate([rq[:1], rq[:-1]]), rq)
+            rt = jnp.where(
+                use_prev[:, None],
+                jnp.concatenate([rt[:1], rt[:-1]]), rt)
+            rel_ok = ok | use_prev
+        else:
+            rel_ok = ok
         rel = Pose(
-            jnp.where(ok[:, None], rq, ident.q[None]),
-            jnp.where(ok[:, None], rt, ident.t[None]),
+            jnp.where(rel_ok[:, None], rq, ident.q[None]),
+            jnp.where(rel_ok[:, None], rt, ident.t[None]),
         )
 
         # ---- 4. absolute poses by parallel prefix over SE(3) ----
@@ -597,15 +664,17 @@ def build_offline_pipeline(
             takeover=False,
         )
 
-        if monocular and mono_loop_pairs > 0 and B_lanes == 1:
-            # loop closure (see _close_loops): merge revisited landmarks
-            # so the wide BA phase in run_refine can redistribute the
-            # scale chain's accumulated drift around the loop
+        if monocular and mono_loop_pairs > 0 and mono_loop_merge:
+            # optional landmark-merge closure (see _close_loops and the
+            # mono_loop_merge default rationale). Folded lanes get a
+            # lane-gated candidate set and a budget scaled to the lane
+            # count (r5: was single-lane only).
             ms, _, _ = _close_loops(
-                ms, cam, opts, n_pairs=mono_loop_pairs,
+                ms, cam, opts, n_pairs=mono_loop_pairs * B_lanes,
                 min_gap_frames=mono_loop_min_gap,
                 min_inliers=mono_loop_min_inliers,
                 key=jax.random.PRNGKey(61),
+                slots_per_lane=None if B_lanes == 1 else K,
             )
 
         # per-lane landmark creation counts (for the split + per-lane
@@ -630,7 +699,7 @@ def build_offline_pipeline(
     # admits the drifted loop observations (mono_gba_max_reproj) and whose
     # GN budget lets the correction diffuse through the pose chain, then
     # the standard-gate polish phase
-    mono_loop_gba = monocular and mono_loop_pairs > 0 and B_lanes == 1
+    mono_loop_gba = monocular and mono_loop_pairs > 0 and mono_loop_merge
     wide_gba_opts = GlobalBAOptions(
         max_iterations=mono_gba_iterations,
         cg_iterations=max(gba_cg_iterations, 16),
@@ -866,7 +935,20 @@ def build_offline_pipeline(
             gba_cg_iterations=gba_cg_iterations, monocular=monocular,
             retrack_refine_iters=retrack_refine_iters,
             retrack_hypotheses=retrack_hypotheses,
-            mono_pair_hypotheses=mono_pair_hypotheses, lanes=B,
+            mono_pair_hypotheses=mono_pair_hypotheses,
+            mono_lo_starts=mono_lo_starts,
+            mono_polish_iters=mono_polish_iters,
+            mono_score_top_k=mono_score_top_k,
+            mono_sample_bias=mono_sample_bias,
+            mono_link_strides=mono_link_strides,
+            mono_loop_pairs=mono_loop_pairs,
+            mono_loop_merge=mono_loop_merge,
+            mono_loop_min_gap=mono_loop_min_gap,
+            mono_loop_min_inliers=mono_loop_min_inliers,
+            mono_gba_iterations=mono_gba_iterations,
+            mono_gba_max_reproj=mono_gba_max_reproj,
+            mono_retrack_two_kf=mono_retrack_two_kf,
+            lanes=B,
         )
         flat = lambda x: x.reshape((B * T_lane,) + x.shape[2:])
         ms, out = folded(cam, flat(images_u8), flat(depths_m))
@@ -1274,9 +1356,132 @@ def _link_consecutive_keyframes(ms: MapState, cam: CameraParams,
                         lm_alive=lm_alive), adopter, creator)
 
 
+def _scale_loop_correction(
+    cam: CameraParams,
+    opts: TrackingOptions,
+    desc: jnp.ndarray,      # [T,N,32] per-frame descriptors
+    valid: jnp.ndarray,     # [T,N]
+    px: jnp.ndarray,        # [T,N,2]
+    dfeat: jnp.ndarray,     # [T,N] world-scale synthesized feature depths
+    frame_q: jnp.ndarray,   # [T,4] rotation-only VO prefix (T_cw quats)
+    B_lanes: int,
+    min_gap: int,
+    min_inliers: int,
+    key: jax.Array,
+    max_rot_deg: float = 35.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Monocular scale-drift redistribution (the mono analog of a Sim(3)
+    pose-graph relaxation, reduced to the 1D drift mode that actually
+    dominates the consecutive-pair scale chain).
+
+    Raw landmark-merge + bundle adjustment CANNOT fix scale-chain drift:
+    the chain's thousands of within-segment observations resist the few
+    hundred loop links, and BA settles on a bent compromise measurably
+    WORSE than the smooth drift it replaced (measured 0.27 -> 0.39 m
+    scale-aligned on an exact two-loop revisit). The observable that IS
+    well-conditioned: a verified revisit pair (i, j) sees the same
+    physical points, so the median log-ratio of their synthesized feature
+    depths measures the scale drift accumulated between i and j directly.
+    Under the chain's (approximately) constant-rate drift, applying the
+    per-frame rate delta/(j-i) from frame i ONWARDS (extrapolated past j)
+    removes the ramp in one shot, before the map is built.
+
+    Per lane: detect the best revisit candidate by bag-of-bits global
+    descriptor similarity, verify with essential RANSAC (+ a minimum of
+    shared depth features), and return per-frame scale multipliers.
+
+    Returns (factor [T] — multiply frame scales, verified [B] bool).
+    """
+    T, N = valid.shape
+    T_lane = T // B_lanes
+
+    # ---- global descriptors + within-lane revisit candidates ----
+    bits = matching.unpack_bits(desc).astype(jnp.int8)          # [T,N,256]
+    G = jnp.einsum("tnb,tn->tb", bits.astype(jnp.float32),
+                   valid.astype(jnp.float32))
+    G = G / jnp.maximum(
+        jnp.sum(valid, axis=1).astype(jnp.float32)[:, None], 1.0) - 0.5
+    Gn = G / jnp.maximum(jnp.linalg.norm(G, axis=1, keepdims=True), 1e-9)
+    sim = Gn @ Gn.T                                             # [T,T]
+    tl = jnp.arange(T) % T_lane
+    lane = jnp.arange(T) // T_lane
+    cand = (
+        (lane[:, None] == lane[None, :])
+        & ((tl[None, :] - tl[:, None]) >= min_gap)
+    )
+    simm = jnp.where(cand, sim, -jnp.inf)
+    best_j = jnp.argmax(simm, axis=1).astype(jnp.int32)        # per query i
+    best_s = jnp.max(simm, axis=1)
+    # best pair per lane
+    lane_best = jnp.argmax(
+        jnp.where(jnp.isfinite(best_s), best_s, -jnp.inf).reshape(
+            B_lanes, T_lane), axis=1)                           # [B]
+    qi = (jnp.arange(B_lanes) * T_lane + lane_best).astype(jnp.int32)
+    qj = best_j[qi]
+    have = jnp.isfinite(best_s[qi])
+
+    # ---- verification: feature matches + MAP-rotation consistency.
+    # NOT epipolar: a true revisit pair has ~zero baseline, exactly where
+    # essential estimation degenerates (measured: 1 "inlier" on an exact
+    # revisit). The VO chain itself supplies the discriminator — a true
+    # revisit's relative rotation is drift-small, while a same-scene
+    # opposite-viewpoint pair (whose depth ratio is real parallax, not
+    # drift) carries a large relative rotation the chain knows about. ----
+    from ..ops.se3 import quat_to_matrix
+
+    def verify(i, j, k):
+        m = matching.match_frames(desc[i], valid[i], desc[j], valid[j])
+        R_map = quat_to_matrix(frame_q[j]) @ quat_to_matrix(frame_q[i]).T
+        cos_ang = jnp.clip((jnp.trace(R_map) - 1.0) * 0.5, -1.0, 1.0)
+        # measured drift: difference of the two frames' median log
+        # synthesized depths. A verified revisit sees the SAME scene from
+        # the same pose, so the frames' median scene depths agree up to
+        # the accumulated scale drift — and unlike a matched-pair depth
+        # ratio this needs no per-feature intersection (synthesized
+        # depths are sparse at small inter-frame baselines: median ~34
+        # valid features/frame on the stride-4 bench shape, intersections
+        # near-empty).
+        di, dj = dfeat[i], dfeat[j]
+        vi, vj = di > 1e-6, dj > 1e-6
+        med_i = jnp.nanmedian(jnp.where(vi, jnp.log(jnp.maximum(di, 1e-9)),
+                                        jnp.nan))
+        med_j = jnp.nanmedian(jnp.where(vj, jnp.log(jnp.maximum(dj, 1e-9)),
+                                        jnp.nan))
+        delta = jnp.nan_to_num(med_j - med_i)
+        ok = (
+            (jnp.sum(m.valid) >= min_inliers)
+            & (cos_ang >= jnp.cos(jnp.deg2rad(max_rot_deg)))
+            & (jnp.sum(vi) >= 16) & (jnp.sum(vj) >= 16)
+            & (jnp.abs(delta) <= jnp.log(4.0))
+        )
+        import os as _os
+
+        if _os.environ.get("VXS_DEBUG_LOOPSCALE"):
+            jax.debug.print(
+                "loopscale i={i} j={j} m={n} cos={c} vi={a} vj={b} "
+                "delta={d} ok={o}",
+                i=i, j=j, n=jnp.sum(m.valid), c=cos_ang, a=jnp.sum(vi),
+                b=jnp.sum(vj), d=delta, o=ok)
+        return jnp.where(ok, delta, 0.0), ok
+
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(B_lanes))
+    delta, ok = jax.vmap(verify)(qi, qj, keys)                  # [B]
+
+    # ---- constant-rate redistribution from frame i onward ----
+    span = jnp.maximum((qj - qi).astype(jnp.float32), 1.0)      # [B]
+    prog = (tl.astype(jnp.float32)
+            - (qi % T_lane)[lane].astype(jnp.float32)) / span[lane]
+    prog = jnp.clip(prog, 0.0, 3.0)   # extrapolate past j, bounded
+    factor = jnp.exp(-delta[lane] * prog * ok[lane])
+    return factor, ok
+
+
 def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
                  n_pairs: int, min_gap_frames: int, min_inliers: int,
-                 key: jax.Array, ransac_hypotheses: int = 64):
+                 key: jax.Array, ransac_hypotheses: int = 64,
+                 slots_per_lane: int | None = None,
+                 max_rot_deg: float = 35.0):
     """Monocular loop closure as LANDMARK MERGES: detect revisits by
     global-descriptor similarity, verify each candidate keyframe pair with
     pair-internal epipolar RANSAC (drift-independent — map reprojection
@@ -1322,11 +1527,22 @@ def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
     sim = Gn @ Gn.T                                              # [K,K]
     gap = ms.kf_id[None, :] - ms.kf_id[:, None]   # train - query, frames
     cand = kvalid[:, None] & kvalid[None, :] & (gap >= min_gap_frames)
+    if slots_per_lane is not None and slots_per_lane < K:
+        # folded multi-lane map (lanes concatenated along the slot axis):
+        # loop candidates must stay WITHIN a lane block — cross-lane
+        # keyframes image unrelated scenes, and a cross-lane merge would
+        # couple two lanes' landmark tables (breaking the sharded ==
+        # unsharded invariant). Within a lane, kf_id gaps are folded-axis
+        # differences, which equal within-lane frame gaps.
+        lane_of = jnp.arange(K) // slots_per_lane
+        cand = cand & (lane_of[:, None] == lane_of[None, :])
     simm = jnp.where(cand, sim, -jnp.inf)
     best_t = jnp.argmax(simm, axis=1).astype(jnp.int32)         # [K]
     best_s = jnp.max(simm, axis=1)
 
-    # ---- 2. greedy slot-unique top-n_pairs ----
+    # ---- 2. greedy slot-unique top-n_pairs, budgeted PER LANE so a
+    # folded run selects exactly the pairs each lane's single-lane run
+    # would (the folded==single parity the sharded mode is pinned to) ----
     order = jnp.argsort(-best_s).astype(jnp.int32)
 
     def greedy(used, qi):
@@ -1337,8 +1553,18 @@ def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
         return used, ok
 
     _, ok_seq = jax.lax.scan(greedy, jnp.zeros((K,), bool), order)
-    rank = jnp.cumsum(ok_seq.astype(jnp.int32)) - 1
-    put = jnp.where(ok_seq & (rank < n_pairs), rank, n_pairs)
+    spl = slots_per_lane if (slots_per_lane is not None) else K
+    n_lanes = K // spl
+    per_lane = n_pairs // n_lanes
+    lane_sel = (order // spl)                               # lane of entry
+    # rank within the entry's lane among accepted pairs (greedy order)
+    onehot = (lane_sel[:, None] == jnp.arange(n_lanes)[None, :]) & \
+        ok_seq[:, None]
+    rank_lane = jnp.take_along_axis(
+        jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1,
+        lane_sel[:, None], axis=1)[:, 0]
+    put = jnp.where(ok_seq & (rank_lane < per_lane),
+                    lane_sel * per_lane + rank_lane, n_pairs)
     qs = jnp.full((n_pairs,), -1, jnp.int32).at[put].set(order, mode="drop")
     ts = jnp.full((n_pairs,), -1, jnp.int32).at[put].set(
         best_t[order], mode="drop")
@@ -1346,23 +1572,29 @@ def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
     qc = jnp.maximum(qs, 0)
     tc = jnp.maximum(ts, 0)
 
-    # ---- 3. match + epipolar verification ----
+    # ---- 3. match + MAP-rotation verification. NOT epipolar: a true
+    # revisit pair has ~zero baseline — exactly where essential
+    # estimation degenerates — while a same-scene OPPOSITE-viewpoint
+    # pair (real parallax, not drift; merging it degrades the solution,
+    # measured 0.27 -> 0.39 m) passes epipolar trivially. The map's own
+    # relative rotation separates the two: drift-small for true
+    # revisits, large for cross-orbit pairs. ----
     res = _chunked_vmap(
         matching.match_frames, n_pairs,
         ms.kf_desc[qc], fvalid[qc] & active[:, None],
         ms.kf_desc[tc], fvalid[tc],
     )
-    px_q = jnp.swapaxes(ms.kf_px[qc], 1, 2)                     # [P,N,2]
-    px_t = jnp.take_along_axis(
-        jnp.swapaxes(ms.kf_px[tc], 1, 2), res.idx[..., None], axis=1)
-    keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        key, jnp.arange(n_pairs))
-    sol = jax.vmap(lambda pq, pt, v, k: essential_ransac(
-        cam, pq, pt, v, k, n_hypotheses=ransac_hypotheses,
-        lo_starts=4, score_top_k=32))(
-        px_q, px_t, res.valid & active[:, None], keys)
-    inl = sol.inlier_mask & res.valid & active[:, None]         # [P,N]
-    pair_ok = active & sol.ok & (jnp.sum(inl, axis=1) >= min_inliers)
+    inl = res.valid & active[:, None]                           # [P,N]
+    pair_ok = active & (jnp.sum(inl, axis=1) >= min_inliers)
+
+    from ..ops.se3 import quat_to_matrix
+
+    Rq = quat_to_matrix(ms.kf_q[qc])                            # [P,3,3]
+    Rt = quat_to_matrix(ms.kf_q[tc])
+    R_map = jnp.einsum("pij,pkj->pik", Rt, Rq)                  # Rt Rq^T
+    tr = jnp.einsum("pii->p", R_map)
+    cos_ang = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    pair_ok = pair_ok & (cos_ang >= jnp.cos(jnp.deg2rad(max_rot_deg)))
 
     # ---- 4. conflict-free landmark merge ----
     lmq = ms.kf_feat_lm[qc]                                     # [P,N]

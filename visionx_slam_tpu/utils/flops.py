@@ -199,6 +199,72 @@ def scan_stage_costs(
     return costs
 
 
+def offline_stage_costs(
+    cam,
+    opts,
+    img_hw: tuple[int, int],
+    *,
+    n_features: int = 1024,
+    kf_capacity: int = 128,
+    orb_kwargs: dict | None = None,
+    keyframes_per_frame: float = 1.0 / 3.0,
+    gba_calls_per_frame: float = 1.0 / 240.0,
+) -> list[StageCost]:
+    """Stage cost inventory of the OFFLINE pipeline (the bench headline).
+
+    LOWER BOUND: the global-BA solver's GN/CG loops are XLA while-loops
+    (counted once — see module docstring) and the map-build scatter work
+    is omitted; the listed stages carry the overwhelming share of the
+    pipeline's FLOPs (extraction alone is ~95%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import matching
+    from ..models.estimation import pnp_ransac
+    from ..models.orb_jax import orb_extract
+    from ..ops.se3 import identity_pose
+
+    H, W = img_hw
+    N = n_features
+    orb_kw = dict(orb_kwargs or {})
+    orb_kw.setdefault("n_slots", N)
+    g8 = jnp.zeros((8, H, W), jnp.uint8)
+    desc = jnp.zeros((N, 32), jnp.uint8)
+    vmask = jnp.ones((N,), bool)
+    px = jnp.zeros((N, 2), jnp.float32)
+    pts3 = jnp.zeros((N, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    costs: list[StageCost] = []
+
+    def add(name, fn, args, execs):
+        c = xla_cost(fn, *args)
+        costs.append(StageCost(name, c["flops"], c["bytes"], execs))
+
+    add("extract",
+        lambda g: jax.vmap(lambda im: orb_extract(im, **orb_kw))(g),
+        (g8,), 1.0 / 8.0)
+    # matcher GEMMs: consecutive-pair + keyframe-chain (amortized) +
+    # re-track = ~2.3 matches/frame
+    add("match",
+        lambda a, b: matching.match_frames(a, vmask, b, vmask),
+        (desc, desc), 2.0 + keyframes_per_frame)
+    # pair-stage PnP (16 hyp, refine 2) + re-track PnP (8 hyp, refine 3)
+    add("pnp_pair",
+        lambda p3, p2: pnp_ransac(cam, p3, p2, vmask, key,
+                                  opts.max_reproj_error,
+                                  n_hypotheses=16, refine_iters=2,
+                                  init_pose=identity_pose()),
+        (pts3, px), 1.0)
+    add("pnp_retrack",
+        lambda p3, p2: pnp_ransac(cam, p3, p2, vmask, key,
+                                  opts.max_reproj_error,
+                                  n_hypotheses=8, refine_iters=3,
+                                  init_pose=identity_pose()),
+        (pts3, px), 1.0)
+    return costs
+
+
 def summarize(costs: list[StageCost], t_per_frame_s: float,
               peaks: dict | None = None) -> dict:
     """Aggregate a stage inventory against a measured per-frame time."""
