@@ -187,28 +187,39 @@ def build_offline_pipeline(
     mono_score_top_k: int | None = None,  # tier-2 width of the essential
                                     # RANSAC (estimation.essential_ransac
                                     # score_top_k)
-    mono_retrack_two_kf: bool = False,  # retrack vs the UNION of the
+    mono_retrack_two_kf: bool = True,   # retrack vs the UNION of the
                                     # preceding AND following keyframes'
                                     # landmarks (offline-only leverage:
-                                    # the future keyframe is known).
-                                    # Measured neutral on synthetic fr3
-                                    # (124.3 -> 125.6 mm at T=60) for a
-                                    # ~1% time cost, so off by default;
-                                    # kept as an option for real optics
-                                    # where the retrack PnP is the floor.
+                                    # the future keyframe is known). ON
+                                    # by default since r5: at bench
+                                    # length (240 frames) it recovers
+                                    # every otherwise-untracked frame
+                                    # (tracked 0.9667 -> 1.0000 measured,
+                                    # VERDICT r4 #3) at ~1% time cost;
+                                    # ATE is neutral.
     mono_sample_bias: float = 0.0,  # > 0: PROSAC-style sampling, minimal
                                     # sets drawn ∝ exp(-dist/bias) (see
                                     # estimation.sample_minimal_sets)
     mono_link_strides: tuple[int, ...] = (1, 2),
-    mono_loop_pairs: int = 12,      # loop-closure detection budget PER
-                                    # LANE (0 = disables BOTH closure
-                                    # mechanisms). ON by default (r5,
-                                    # VERDICT #3): verified revisits
-                                    # drive the scale-drift
-                                    # redistribution
-                                    # (_scale_loop_correction); the
-                                    # verification gates make it a no-op
-                                    # on loop-free scenes.
+    mono_loop_pairs: int = 0,       # loop-closure detection budget PER
+                                    # LANE (0 = off, the r5 default after
+                                    # measurement). Three closure
+                                    # mechanisms were built and measured
+                                    # on revisiting synthetic loops:
+                                    # landmark-merge + wide BA (0.27 ->
+                                    # 0.39 m), single-pair constant-rate
+                                    # scale correction (neutral; the
+                                    # chain's scale error is a random
+                                    # walk, not a ramp), and per-frame
+                                    # scale anchoring (0.33 -> 0.36 m —
+                                    # median-depth deltas are noisier
+                                    # than the drift they correct at
+                                    # these feature densities). All ship
+                                    # opt-in behind this budget for data
+                                    # where drift dominates; the default
+                                    # mono accuracy path is instead the
+                                    # two-keyframe retrack
+                                    # (mono_retrack_two_kf).
     mono_loop_merge: bool = False,  # ALSO merge revisited landmarks and
                                     # run the wide two-phase BA
                                     # (_close_loops). OFF by default:
@@ -1369,33 +1380,48 @@ def _scale_loop_correction(
     min_inliers: int,
     key: jax.Array,
     max_rot_deg: float = 35.0,
+    min_sim: float = 0.55,
+    min_depth_count: int = 16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Monocular scale-drift redistribution (the mono analog of a Sim(3)
-    pose-graph relaxation, reduced to the 1D drift mode that actually
-    dominates the consecutive-pair scale chain).
+    """Monocular scale-drift anchoring (the mono analog of a Sim(3)
+    pose-graph relaxation, reduced to the 1D scale mode that dominates
+    the consecutive-pair chain).
 
-    Raw landmark-merge + bundle adjustment CANNOT fix scale-chain drift:
-    the chain's thousands of within-segment observations resist the few
-    hundred loop links, and BA settles on a bent compromise measurably
-    WORSE than the smooth drift it replaced (measured 0.27 -> 0.39 m
-    scale-aligned on an exact two-loop revisit). The observable that IS
-    well-conditioned: a verified revisit pair (i, j) sees the same
-    physical points, so the median log-ratio of their synthesized feature
-    depths measures the scale drift accumulated between i and j directly.
-    Under the chain's (approximately) constant-rate drift, applying the
-    per-frame rate delta/(j-i) from frame i ONWARDS (extrapolated past j)
-    removes the ramp in one shot, before the map is built.
+    Two measured facts shape the design (VERDICT r4 #3 line of work):
 
-    Per lane: detect the best revisit candidate by bag-of-bits global
-    descriptor similarity, verify with essential RANSAC (+ a minimum of
-    shared depth features), and return per-frame scale multipliers.
+    - raw landmark-merge + bundle adjustment CANNOT fix scale-chain
+      drift: the chain's thousands of within-segment observations resist
+      the few hundred loop links and BA settles on a bent compromise
+      measurably WORSE than the drift it replaced (0.27 -> 0.39 m
+      scale-aligned on an exact two-loop revisit);
+    - the chain's scale error is a RANDOM WALK, not a ramp (measured
+      per-loop scale ratios 1.70 / 0.87 / 2.28 / 0.34 on the four-loop
+      bench shape), so a single-pair constant-rate correction is
+      useless.
 
-    Returns (factor [T] — multiply frame scales, verified [B] bool).
+    The anchoring is therefore PER FRAME: every frame whose best earlier
+    same-lane revisit candidate passes the gates snaps its log-scale to
+    the partner's via the difference of the two frames' median log
+    synthesized depths (a same-pose revisit sees the same scene, so the
+    medians agree up to accumulated drift — and no per-feature
+    intersection is needed, which matters because synthesized depths are
+    sparse at small baselines). Verification is NOT epipolar — a true
+    revisit has ~zero baseline, exactly where essential estimation
+    degenerates (measured: 1 "inlier" on an exact revisit) — but
+    similarity + the VO chain's own relative rotation: drift-small for a
+    true revisit, large for a same-scene opposite-viewpoint pair whose
+    depth ratio is real parallax. Corrections are smoothed over a
+    5-frame window to keep sparse-depth median noise out of individual
+    steps; unverified frames (all of them, on a loop-free scene) carry
+    factor 1.
+
+    Returns (factor [T] — per-frame scale multipliers, verified [B] —
+    any frame verified per lane).
     """
     T, N = valid.shape
     T_lane = T // B_lanes
 
-    # ---- global descriptors + within-lane revisit candidates ----
+    # ---- global descriptors + within-lane earlier revisit partners ----
     bits = matching.unpack_bits(desc).astype(jnp.int8)          # [T,N,256]
     G = jnp.einsum("tnb,tn->tb", bits.astype(jnp.float32),
                    valid.astype(jnp.float32))
@@ -1407,74 +1433,50 @@ def _scale_loop_correction(
     lane = jnp.arange(T) // T_lane
     cand = (
         (lane[:, None] == lane[None, :])
-        & ((tl[None, :] - tl[:, None]) >= min_gap)
+        & ((tl[:, None] - tl[None, :]) >= min_gap)   # partner EARLIER
     )
     simm = jnp.where(cand, sim, -jnp.inf)
-    best_j = jnp.argmax(simm, axis=1).astype(jnp.int32)        # per query i
-    best_s = jnp.max(simm, axis=1)
-    # best pair per lane
-    lane_best = jnp.argmax(
-        jnp.where(jnp.isfinite(best_s), best_s, -jnp.inf).reshape(
-            B_lanes, T_lane), axis=1)                           # [B]
-    qi = (jnp.arange(B_lanes) * T_lane + lane_best).astype(jnp.int32)
-    qj = best_j[qi]
-    have = jnp.isfinite(best_s[qi])
+    part = jnp.argmax(simm, axis=1).astype(jnp.int32)           # [T]
+    psim = jnp.max(simm, axis=1)
 
-    # ---- verification: feature matches + MAP-rotation consistency.
-    # NOT epipolar: a true revisit pair has ~zero baseline, exactly where
-    # essential estimation degenerates (measured: 1 "inlier" on an exact
-    # revisit). The VO chain itself supplies the discriminator — a true
-    # revisit's relative rotation is drift-small, while a same-scene
-    # opposite-viewpoint pair (whose depth ratio is real parallax, not
-    # drift) carries a large relative rotation the chain knows about. ----
+    # ---- per-frame gates: similarity floor, VO-rotation consistency,
+    # enough valid depths on both ends, sane magnitude ----
     from ..ops.se3 import quat_to_matrix
 
-    def verify(i, j, k):
-        m = matching.match_frames(desc[i], valid[i], desc[j], valid[j])
-        R_map = quat_to_matrix(frame_q[j]) @ quat_to_matrix(frame_q[i]).T
-        cos_ang = jnp.clip((jnp.trace(R_map) - 1.0) * 0.5, -1.0, 1.0)
-        # measured drift: difference of the two frames' median log
-        # synthesized depths. A verified revisit sees the SAME scene from
-        # the same pose, so the frames' median scene depths agree up to
-        # the accumulated scale drift — and unlike a matched-pair depth
-        # ratio this needs no per-feature intersection (synthesized
-        # depths are sparse at small inter-frame baselines: median ~34
-        # valid features/frame on the stride-4 bench shape, intersections
-        # near-empty).
-        di, dj = dfeat[i], dfeat[j]
-        vi, vj = di > 1e-6, dj > 1e-6
-        med_i = jnp.nanmedian(jnp.where(vi, jnp.log(jnp.maximum(di, 1e-9)),
-                                        jnp.nan))
-        med_j = jnp.nanmedian(jnp.where(vj, jnp.log(jnp.maximum(dj, 1e-9)),
-                                        jnp.nan))
-        delta = jnp.nan_to_num(med_j - med_i)
-        ok = (
-            (jnp.sum(m.valid) >= min_inliers)
-            & (cos_ang >= jnp.cos(jnp.deg2rad(max_rot_deg)))
-            & (jnp.sum(vi) >= 16) & (jnp.sum(vj) >= 16)
-            & (jnp.abs(delta) <= jnp.log(4.0))
-        )
-        import os as _os
+    R = quat_to_matrix(frame_q)                                 # [T,3,3]
+    R_rel = jnp.einsum("tij,tkj->tik", R, R[part])              # t <- partner
+    cos_ang = jnp.clip(
+        (jnp.einsum("tii->t", R_rel) - 1.0) * 0.5, -1.0, 1.0)
+    dvalid = dfeat > 1e-6
+    cnt = jnp.sum(dvalid, axis=1)                               # [T]
+    ld = jnp.where(dvalid, jnp.log(jnp.maximum(dfeat, 1e-9)), jnp.nan)
+    med = jnp.nan_to_num(jnp.nanmedian(ld, axis=1))             # [T]
+    delta_raw = med - med[part]
+    ver = (
+        jnp.isfinite(psim) & (psim >= min_sim)
+        & (cos_ang >= jnp.cos(jnp.deg2rad(max_rot_deg)))
+        & (cnt >= min_depth_count) & (cnt[part] >= min_depth_count)
+        & (jnp.abs(delta_raw) <= jnp.log(4.0))
+    )
+    delta = jnp.where(ver, delta_raw, 0.0)
 
-        if _os.environ.get("VXS_DEBUG_LOOPSCALE"):
-            jax.debug.print(
-                "loopscale i={i} j={j} m={n} cos={c} vi={a} vj={b} "
-                "delta={d} ok={o}",
-                i=i, j=j, n=jnp.sum(m.valid), c=cos_ang, a=jnp.sum(vi),
-                b=jnp.sum(vj), d=delta, o=ok)
-        return jnp.where(ok, delta, 0.0), ok
+    # ---- smooth within a 5-frame window (verified-weighted box),
+    # PER LANE: a flat convolve would leak corrections across folded
+    # lane boundaries and break folded == single-lane parity ----
+    w = ver.astype(jnp.float32)
+    kern = jnp.ones((5,), jnp.float32)
+    conv = jax.vmap(lambda x: jnp.convolve(x, kern, mode="same"))
+    num = conv((delta * w).reshape(B_lanes, T_lane)).reshape(T)
+    den = conv(w.reshape(B_lanes, T_lane)).reshape(T)
+    delta_s = jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+    factor = jnp.exp(-delta_s)
+    import os as _os
 
-    keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        key, jnp.arange(B_lanes))
-    delta, ok = jax.vmap(verify)(qi, qj, keys)                  # [B]
-
-    # ---- constant-rate redistribution from frame i onward ----
-    span = jnp.maximum((qj - qi).astype(jnp.float32), 1.0)      # [B]
-    prog = (tl.astype(jnp.float32)
-            - (qi % T_lane)[lane].astype(jnp.float32)) / span[lane]
-    prog = jnp.clip(prog, 0.0, 3.0)   # extrapolate past j, bounded
-    factor = jnp.exp(-delta[lane] * prog * ok[lane])
-    return factor, ok
+    if _os.environ.get("VXS_DEBUG_LOOPSCALE"):
+        jax.debug.print(
+            "loopscale verified={v}/{t} delta[min,max]=({a},{b})",
+            v=jnp.sum(ver), t=T, a=jnp.min(delta_s), b=jnp.max(delta_s))
+    return factor, jnp.any(ver.reshape(B_lanes, T_lane), axis=1)
 
 
 def _close_loops(ms: MapState, cam: CameraParams, opts: TrackingOptions,
@@ -1709,6 +1711,16 @@ def run_offline_pipeline_batched(
     # the merged capacity to B*K*N itself, so lm_dropped == 0 is guaranteed
     kw.setdefault("lm_capacity", kw["kf_capacity"] * kw["n_features_cap"])
     kw.setdefault("monocular", False)
+    # forward the mono/retrack budget knobs (anything not consumed above)
+    # to build_offline_pipeline — silently dropping them would make the
+    # batched mode diverge from the single-lane configuration it must
+    # reproduce per lane
+    consumed = {
+        "extract_chunk", "pair_chunk", "kf_capacity", "refine_iterations",
+        "gba_cg_iterations", "n_features_cap", "pnp_hypotheses",
+        "lm_capacity", "monocular", "orb_kwargs",
+    }
+    extra = {k: v for k, v in kw.items() if k not in consumed}
     fn = _compiled_offline(
         opts_key,
         kw["n_features_cap"], kw["kf_capacity"], kw["lm_capacity"],
@@ -1717,5 +1729,6 @@ def run_offline_pipeline_batched(
         kw["refine_iterations"], batched=True,
         gba_cg_iterations=kw["gba_cg_iterations"],
         monocular=kw["monocular"],
+        mono_kw_tuple=tuple(sorted(extra.items())),
     )
     return fn(cam, jnp.asarray(images_u8), jnp.asarray(depths_m))
