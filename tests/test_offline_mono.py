@@ -149,25 +149,54 @@ def test_mono_loop_closure_engages_and_bounded(looped_seq):
     assert np.asarray(o_on.tracked).mean() >= 0.95
 
 
-def test_mono_loop_free_scene_unaffected(mono_seq):
-    """On a loop-FREE scene the verification gates must make the opt-in
-    closure a semantic no-op (no verified partner -> factor 1). The two
-    configurations compile DIFFERENT programs, so float reassociation
-    produces sub-mm pose deltas — the pinned invariants are identical
-    tracking/keyframe decisions and sub-millimeter trajectory agreement,
-    not bit equality."""
-    ds, grays, depths, cam = mono_seq
-    _, o_on = run_offline_pipeline(
-        cam, grays, depths, TrackingOptions(), monocular=True,
-        mono_loop_pairs=12)
-    _, o_off = run_offline_pipeline(
-        cam, grays, depths, TrackingOptions(), monocular=True)
-    np.testing.assert_array_equal(
-        np.asarray(o_on.tracked), np.asarray(o_off.tracked))
-    np.testing.assert_array_equal(
-        np.asarray(o_on.is_keyframe), np.asarray(o_off.is_keyframe))
-    dp = np.abs(np.asarray(o_on.pose) - np.asarray(o_off.pose))
-    assert dp.max() < 1e-3, dp.max()
+def test_scale_loop_correction_gates():
+    """Unit-level behavior of the scale-anchoring verification gates
+    (_scale_loop_correction): dissimilar frames (no revisit) produce NO
+    correction (factor exactly 1 everywhere); an exact-revisit
+    construction with a known scale offset recovers it."""
+    import jax
+    import jax.numpy as jnp
+
+    from visionx_slam_tpu.ops.camera import make_camera
+    from visionx_slam_tpu.ops.se3 import identity_pose
+    from visionx_slam_tpu.tracking.offline_pipeline import (
+        _scale_loop_correction,
+    )
+
+    rng = np.random.default_rng(0)
+    T, N = 32, 256
+    cam = make_camera(525.0, 525.0, 319.5, 239.5)
+    opts = TrackingOptions()
+    px = jnp.asarray(rng.uniform(0, 600, (T, N, 2)), jnp.float32)
+    valid = jnp.ones((T, N), bool)
+    frame_q = jnp.tile(identity_pose().q[None], (T, 1))
+    key = jax.random.PRNGKey(0)
+
+    # case 1: every frame unique -> no partner passes the similarity gate
+    desc_u = jnp.asarray(rng.integers(0, 256, (T, N, 32)), jnp.uint8)
+    dfeat = jnp.asarray(rng.uniform(1.0, 3.0, (T, N)), jnp.float32)
+    factor, ver = jax.jit(
+        lambda d, df: _scale_loop_correction(
+            cam, opts, d, valid, px, df, frame_q, 1, 12, 40, key)
+    )(desc_u, dfeat)
+    assert not bool(np.asarray(ver).any())
+    np.testing.assert_array_equal(np.asarray(factor), 1.0)
+
+    # case 2: frames 16.. revisit frames 0.. exactly (same descriptors)
+    # with depths scaled by e^0.3 -> verified frames recover ~e^-0.3
+    desc_l = jnp.concatenate([desc_u[:16], desc_u[:16]], axis=0)
+    dfeat_l = jnp.concatenate([dfeat[:16], dfeat[:16] * np.exp(0.3)], 0)
+    factor, ver = jax.jit(
+        lambda d, df: _scale_loop_correction(
+            cam, opts, d, valid, px, df, frame_q, 1, 12, 40, key)
+    )(desc_l, dfeat_l)
+    ver = bool(np.asarray(ver).any())
+    assert ver
+    f = np.asarray(factor)
+    # frames with a verified partner are pulled toward e^-0.3
+    corrected = f[f < 0.999]
+    assert len(corrected) >= 8
+    np.testing.assert_allclose(corrected, np.exp(-0.3), rtol=0.1)
 
 
 def test_mono_folded_loop_closure_matches_single(looped_seq):
