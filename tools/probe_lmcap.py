@@ -41,13 +41,8 @@ def main():
     dd = jax.device_put(jnp.asarray(depths))
 
     def scan_ate(outs):
-        tracked = np.asarray(outs.tracked)
-        poses = np.asarray(outs.pose)
-        if tracked.sum() < 3:
-            return float("nan")
-        est = np.asarray([traj.tcw_to_twc(poses[i])[:3, 3]
-                          for i in range(len(tracked)) if tracked[i]])
-        return traj.ate_rmse(est, gts[tracked])
+        ate, _ = bench._ate_from_outs(outs, gts)
+        return float("nan") if ate is None else ate
 
     opts = TrackingOptions()
 
